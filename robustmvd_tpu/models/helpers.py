@@ -1,0 +1,144 @@
+"""Model wrapper: the host<->device boundary and the `run()` protocol.
+
+A model in this framework is a :class:`ModelBase`: a pure flax module plus
+its variables, with host-side numpy ``input_adapter``/``output_adapter`` and
+a jit-compiled device step. ``model.run(**sample)`` adds/removes the batch
+dim around adapter -> forward -> adapter, exactly mirroring the reference's
+injected run function (rmvd/models/helpers.py:65-89) so any code written
+against the reference's model interface ports over unchanged.
+
+Unlike the reference (which wraps models in nn.DataParallel,
+helpers.py:163-169), device parallelism here is expressed with
+jax.sharding: the jitted step can be given a Mesh + shardings via
+``set_mesh`` and XLA partitions the computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from ..utils import add_batch_dim, remove_batch_dim, to_numpy
+
+
+class ModelBase:
+    """A flax module + variables with the reference model protocol.
+
+    Subclasses (or factory functions) must provide:
+      - ``module``: flax linen module
+      - ``variables``: dict with "params" (and optionally "batch_stats")
+      - ``input_adapter(images, keyview_idx, poses, intrinsics, depth_range)``
+        returning a dict of numpy arrays shaped for ``forward``
+      - ``forward(**sample)``: device computation returning (pred, aux)
+      - ``output_adapter(model_output)`` returning numpy (pred, aux)
+    """
+
+    name: str = ""
+    trainable: bool = True
+
+    def __init__(self, module, variables, train: bool = False):
+        self.module = module
+        self.variables = variables
+        self.train_mode = train
+        self._jitted_apply: Optional[Callable] = None
+        self.mesh = None
+
+    # --- device step -----------------------------------------------------
+
+    def apply_fn(self, variables, **sample):
+        """Pure apply: override in subclasses. Returns (pred, aux) pytrees."""
+        raise NotImplementedError
+
+    def forward(self, **sample):
+        if self._jitted_apply is None:
+            self._jitted_apply = jax.jit(lambda v, s: self.apply_fn(v, **s))
+        return self._jitted_apply(self.variables, sample)
+
+    def __call__(self, **sample):
+        return self.forward(**sample)
+
+    # --- host adapters ---------------------------------------------------
+
+    def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
+        raise NotImplementedError
+
+    def output_adapter(self, model_output):
+        pred, aux = model_output
+        return to_numpy(pred), to_numpy(aux)
+
+    # --- the run protocol ------------------------------------------------
+
+    def run(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None, **_):
+        """Numpy in -> numpy out, handling the batch dim
+
+        (reference: rmvd/models/helpers.py:65-89).
+        """
+        no_batch_dim = images[0].ndim == 3
+        if no_batch_dim:
+            images, keyview_idx, poses, intrinsics, depth_range = add_batch_dim(
+                [images, keyview_idx, poses, intrinsics, depth_range]
+            )
+
+        sample = self.input_adapter(
+            images=images,
+            keyview_idx=keyview_idx,
+            poses=poses,
+            intrinsics=intrinsics,
+            depth_range=depth_range,
+        )
+        model_output = self.forward(**sample)
+        pred, aux = self.output_adapter(model_output)
+
+        if no_batch_dim:
+            pred, aux = remove_batch_dim((pred, aux))
+
+        return pred, aux
+
+    # --- misc ------------------------------------------------------------
+
+    def num_parameters(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.variables["params"]))
+
+    def set_mesh(self, mesh):
+        """Attach a device mesh; invalidates the jitted step so it re-traces
+
+        with sharding constraints."""
+        self.mesh = mesh
+        self._jitted_apply = None
+
+
+def add_run_function(model):
+    """Attach the reference-style ``run`` to a duck-typed custom model.
+
+    The model must provide input_adapter / __call__ (or forward) /
+    output_adapter (reference: rmvd/models/factory.py:32-61
+    `prepare_custom_model`).
+    """
+    if hasattr(model, "run"):
+        return model
+
+    def run(images, keyview_idx, poses=None, intrinsics=None, depth_range=None, **_):
+        no_batch_dim = images[0].ndim == 3
+        if no_batch_dim:
+            images, keyview_idx, poses, intrinsics, depth_range = add_batch_dim(
+                [images, keyview_idx, poses, intrinsics, depth_range]
+            )
+        sample = model.input_adapter(
+            images=images,
+            keyview_idx=keyview_idx,
+            poses=poses,
+            intrinsics=intrinsics,
+            depth_range=depth_range,
+        )
+        forward = getattr(model, "forward", None) or model
+        model_output = forward(**sample)
+        pred, aux = model.output_adapter(model_output)
+        if no_batch_dim:
+            pred, aux = remove_batch_dim((pred, aux))
+        return pred, aux
+
+    model.run = run
+    return model

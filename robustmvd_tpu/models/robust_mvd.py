@@ -1,0 +1,241 @@
+"""robust_mvd — the Robust MVD paper baseline, TPU-native.
+
+Re-design of the reference model (rmvd/models/robust_mvd.py:26-158):
+DispNet encoder on key + source images -> context encoder -> plane-sweep
+correlation with 256 hypotheses, linear inverse depth in [1/1000, 1/0.4]
+(:71-80) -> learned fusion -> cost-volume encoder -> 6-scale decoder ->
+depth = 1/(invdepth + 1e-9), uncertainty = exp(log_b)/(invdepth + 1e-9)
+(:90-94). Input adapter resizes to a multiple of 64, normalizes images to
+img/255 - 0.4, and converts intrinsics to relative (:101-132).
+
+TPU-first choices:
+- NHWC layout end to end; the correlation volume is (B, H, W, S) with
+  hypotheses as trailing channels, feeding convs without transposes.
+- All views are encoded in one batched conv pass (the reference loops over
+  source views in Python, robust_mvd.py:66-67).
+- The key/source split is a static-shape argsort-gather so the whole forward
+  jits with a per-sample dynamic keyview index.
+- The correlation is the MXU matmul formulation (see
+  robustmvd_tpu/ops/corr.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.corr import planesweep_correlation
+from ..utils import to_relative_intrinsics
+from ..utils.image import resize_bilinear as np_resize_bilinear
+from .blocks.dispnet import (
+    DispnetContextEncoder,
+    DispnetCostvolumeEncoder,
+    DispnetDecoder,
+    DispnetEncoder,
+    LearnedFusion,
+)
+from .helpers import ModelBase
+from .registry import register_model
+
+kaiming_leaky = nn.initializers.variance_scaling(
+    2.0 / (1.0 + 0.2**2), mode="fan_in", distribution="truncated_normal"
+)
+
+
+def split_key_sources(stacked, keyview_idx):
+    """Split (B, V, ...) stacked views into key (B, ...) and sources
+
+    (B, V-1, ...) with per-sample dynamic key index but static shapes.
+
+    Equivalent to the reference's select_by_index/exclude_index
+    (rmvd/utils/utils.py:298-347) under jit: a stable argsort of the
+    "is-key" indicator puts all non-key views first in original order.
+    """
+    B, V = stacked.shape[:2]
+    ar = jnp.arange(V)[None, :]
+    is_key = ar == keyview_idx.reshape(-1, 1)  # (B, V)
+    order = jnp.argsort(is_key, axis=1, stable=True)  # non-key first
+    src_idx = order[:, : V - 1]
+
+    def take(idx):
+        idx_full = idx.reshape(idx.shape + (1,) * (stacked.ndim - 2))
+        return jnp.take_along_axis(stacked, idx_full, axis=1)
+
+    key = take(keyview_idx.reshape(-1, 1))[:, 0]
+    sources = take(src_idx)
+    return key, sources
+
+
+class RobustMVDModule(nn.Module):
+    """The pure forward: images (B, V, H, W, 3) normalized, poses (B, V, 4, 4),
+
+    intrinsics (B, V, 3, 3) relative, keyview_idx (B,)."""
+
+    num_sampling_points: int = 256
+    min_depth: float = 0.4
+    max_depth: float = 1000.0
+    corr_impl: str = "matmul"
+
+    @nn.compact
+    def __call__(self, images, poses, intrinsics, keyview_idx):
+        B, V, H, W, C = images.shape
+
+        encoder = DispnetEncoder(name="encoder")
+        all_enc, _ = encoder(images.reshape(B * V, H, W, C))
+        all_enc = {k: v.reshape(B, V, *v.shape[1:]) for k, v in all_enc.items()}
+
+        conv1_key, _ = split_key_sources(all_enc["conv1"], keyview_idx)
+        conv2_key, _ = split_key_sources(all_enc["conv2"], keyview_idx)
+        enc_key, enc_sources = split_key_sources(all_enc["conv3a"], keyview_idx)
+
+        K_key, K_sources = split_key_sources(intrinsics, keyview_idx)
+        _, key_to_source = split_key_sources(poses, keyview_idx)
+
+        ctx = DispnetContextEncoder(name="context_encoder")(enc_key)
+
+        corrs, masks, _ = planesweep_correlation(
+            feat_key=enc_key,
+            feat_sources=enc_sources,
+            intrinsics_key=K_key,
+            intrinsics_sources=K_sources,
+            key_to_source_transforms=key_to_source,
+            num_sampling_points=self.num_sampling_points,
+            min_depth=self.min_depth,
+            max_depth=self.max_depth,
+            impl=self.corr_impl,
+        )
+
+        fused_corr, _ = LearnedFusion(name="fusion_block")(corrs, masks)
+
+        all_enc_fused, enc_fused = DispnetCostvolumeEncoder(name="fusion_enc_block")(
+            corr=fused_corr, ctx=ctx
+        )
+
+        dec = DispnetDecoder(name="decoder")(
+            enc_fused=enc_fused,
+            all_enc={
+                "conv1": conv1_key,
+                "conv2": conv2_key,
+                **all_enc_fused,
+            },
+        )
+
+        pred = {
+            "depth": 1.0 / (dec["invdepth"] + 1e-9),
+            "depth_uncertainty": jnp.exp(dec["invdepth_log_b"]) / (dec["invdepth"] + 1e-9),
+        }
+        aux = dict(dec)
+        aux["depth"] = pred["depth"]
+        aux["depth_uncertainty"] = pred["depth_uncertainty"]
+        return pred, aux
+
+
+class RobustMVD(ModelBase):
+    def __init__(self, weights=None, train=False, corr_impl="matmul", dtype=jnp.float32, seed=0):
+        module = RobustMVDModule(corr_impl=corr_impl)
+        if weights is not None:
+            variables = load_robust_mvd_weights(weights, module)
+        else:
+            rng = jax.random.PRNGKey(seed)
+            dummy = {
+                "images": jnp.zeros((1, 2, 64, 64, 3), dtype),
+                "poses": jnp.tile(jnp.eye(4, dtype=dtype), (1, 2, 1, 1)),
+                "intrinsics": jnp.tile(jnp.eye(3, dtype=dtype), (1, 2, 1, 1)),
+                "keyview_idx": jnp.zeros((1,), jnp.int32),
+            }
+            variables = module.init(rng, **dummy)
+        super().__init__(module, variables, train=train)
+
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, **_):
+        return self.module.apply(variables, images, poses, intrinsics, keyview_idx)
+
+    def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
+        """Resize to a multiple of 64, normalize to /255 - 0.4, relative K
+
+        (reference: rmvd/models/robust_mvd.py:101-132). Host-side numpy:
+        images arrive CHW-batched (list of (B, 3, H, W)); leaves as stacked
+        NHWC (B, V, H, W, 3).
+        """
+        orig_ht, orig_wd = images[0].shape[-2:]
+        ht = int(math.ceil(orig_ht / 64.0) * 64.0)
+        wd = int(math.ceil(orig_wd / 64.0) * 64.0)
+        if (orig_ht, orig_wd) != (ht, wd):
+            images = [np_resize_bilinear(img, (ht, wd)) for img in images]
+            sx, sy = wd / orig_wd, ht / orig_ht
+            intrinsics = [
+                K * np.array([[sx, 1, sx], [1, sy, sy], [1, 1, 1]], dtype=np.float32)
+                for K in intrinsics
+            ]
+
+        images = [img / 255.0 - 0.4 for img in images]
+        intrinsics = [to_relative_intrinsics(K, wd, ht) for K in intrinsics]
+
+        images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+        sample = {
+            "images": jnp.asarray(images_nhwc),
+            "poses": jnp.asarray(np.stack(poses, axis=1).astype(np.float32)),
+            "intrinsics": jnp.asarray(np.stack(intrinsics, axis=1).astype(np.float32)),
+            "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), dtype=jnp.int32),
+        }
+        return sample
+
+    def output_adapter(self, model_output):
+        """Device NHWC -> the reference's NCHW numpy output contract."""
+        pred, aux = model_output
+
+        def to_chw(x):
+            if hasattr(x, "ndim") and x.ndim == 4:
+                return np.asarray(x).transpose(0, 3, 1, 2)
+            return np.asarray(x) if hasattr(x, "ndim") else x
+
+        pred = {k: to_chw(v) for k, v in pred.items()}
+        aux_np = {}
+        for k, v in aux.items():
+            if isinstance(v, list):
+                aux_np[k] = [to_chw(x) for x in v]
+            else:
+                aux_np[k] = to_chw(v)
+        return pred, aux_np
+
+
+def load_robust_mvd_weights(weights_path, module):
+    """Load weights from a flax msgpack file or a torch ``.pt`` checkpoint
+
+    (converted on the fly — see robustmvd_tpu/models/weights.py)."""
+    if str(weights_path).endswith(".pt"):
+        from .weights import convert_torch_checkpoint
+
+        return convert_torch_checkpoint(weights_path)
+    import flax.serialization
+
+    rng = jax.random.PRNGKey(0)
+    dummy = {
+        "images": jnp.zeros((1, 2, 64, 64, 3), jnp.float32),
+        "poses": jnp.tile(jnp.eye(4), (1, 2, 1, 1)),
+        "intrinsics": jnp.tile(jnp.eye(3), (1, 2, 1, 1)),
+        "keyview_idx": jnp.zeros((1,), jnp.int32),
+    }
+    variables = module.init(rng, **dummy)
+    with open(weights_path, "rb") as f:
+        return flax.serialization.from_bytes(variables, f.read())
+
+
+@register_model
+def robust_mvd(pretrained=True, weights=None, train=False, **kwargs):
+    """The paper's baseline (600k-iteration checkpoint in the reference,
+
+    rmvd/models/robust_mvd.py:151-158). Pretrained torch weights are
+    converted if a local path is supplied; there is no download in this
+    environment."""
+    return RobustMVD(weights=weights, train=train, **kwargs)
+
+
+@register_model(trainable=False)
+def robust_mvd_5M(pretrained=True, weights=None, train=False, **kwargs):
+    """The 5M-iteration variant (reference: rmvd/models/robust_mvd.py:139-148)."""
+    return RobustMVD(weights=weights, train=train, **kwargs)

@@ -1,0 +1,161 @@
+"""Fronto-parallel homography warping (MVSNet-style plane sweep).
+
+Reference parity (rmvd/models/blocks/utils.py:222-268 `homo_warp` and
+:95-186 `get_homographies`/`homography_warping` for Vis-MVSNet): back-project
+the reference pixel grid at D depths, transform with ``src_proj @
+ref_proj_inv``, and bilinearly sample the source features. The reference's
+(deliberately quirky) coordinate convention is preserved exactly: grids are
+normalized with the align_corners=True formula ``x / ((W-1)/2) - 1`` but
+sampled with align_corners=False semantics (utils.py:256-262).
+
+TPU-native: channel-last features, one fused einsum for the projective
+transform over all D*H*W points, gathers via the shared bilinear sampler.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import bilinear_sample
+
+
+def homo_warp(src_feat, src_proj, ref_proj_inv, depth_values):
+    """Build a warped feature volume.
+
+    Args:
+        src_feat: (B, Hs, Ws, C) source features.
+        src_proj: (B, 4, 4) source projection matrix (K @ extrinsics).
+        ref_proj_inv: (B, 4, 4) inverse reference projection.
+        depth_values: (B, D) depth hypotheses.
+
+    Returns:
+        (B, D, H, W, C) warped source features with H=Hs, W=Ws
+        (zeros padding outside the source image).
+    """
+    B, H, W, C = src_feat.shape
+    D = depth_values.shape[1]
+    dtype = src_feat.dtype
+
+    transform = src_proj @ ref_proj_inv
+    R = transform[:, :3, :3]  # (B, 3, 3)
+    T = transform[:, :3, 3]  # (B, 3)
+
+    # reference grid: kornia create_meshgrid(normalized=False) uses integer
+    # pixel coordinates 0..W-1 (utils.py:240-247)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+    )
+    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)  # (HW, 3)
+
+    # (B, D, HW, 3): scale by depth, rotate, translate
+    pts = jnp.einsum("bij,pj->bpi", R, grid)  # (B, HW, 3)
+    pts = pts[:, None, :, :] * depth_values[:, :, None, None] + T[:, None, None, :]
+
+    z = pts[..., 2]
+    x = pts[..., 0] / z
+    y = pts[..., 1] / z
+
+    # reference normalization: x/((W-1)/2) - 1 then align_corners=False
+    # unnormalization ((gn+1)*W - 1)/2 => index = x*W/(W-1) - 0.5
+    xi = x * (W / (W - 1)) - 0.5
+    yi = y * (H / (H - 1)) - 0.5
+
+    warped, _ = bilinear_sample(
+        src_feat, xi.reshape(B, -1), yi.reshape(B, -1), padding_mode="zeros"
+    )
+    return warped.reshape(B, D, H, W, C)
+
+
+def get_homographies(left_cam, right_cam, depth_num, depth_start, depth_interval, inv=False):
+    """Per-depth 3x3 homographies between two cameras (Vis-MVSNet).
+
+    Args:
+        left_cam / right_cam: (B, 2, 4, 4) "cam" tensors — [0] extrinsics
+            pose, [1] intrinsics in the top-left 3x3 (reference:
+            blocks/utils.py:95-150).
+        depth_num: D (static int).
+        depth_start: (B, 1, 1, 1) or (B, 1, H, W).
+        depth_interval: same shape as depth_start.
+        inv: inverse-depth spacing.
+
+    Returns:
+        (B, D, H', W', 3, 3) homographies (H'=W'=1 for scalar depth_start).
+    """
+    dtype = left_cam.dtype
+    R_left = left_cam[:, 0, :3, :3]
+    R_right = right_cam[:, 0, :3, :3]
+    t_left = left_cam[:, 0, :3, 3:4]
+    t_right = right_cam[:, 0, :3, 3:4]
+    K_left = left_cam[:, 1, :3, :3]
+    K_right = right_cam[:, 1, :3, :3]
+
+    d_idx = jnp.arange(depth_num, dtype=dtype).reshape(1, depth_num, 1, 1)
+    if not inv:
+        depth = depth_start + depth_interval * d_idx
+    else:
+        depth_end = depth_start + (depth_num - 1) * depth_interval
+        inv_interv = (1 / (depth_start + 1e-9) - 1 / (depth_end + 1e-9)) / (
+            depth_num - 1 + 1e-9
+        )
+        depth = 1 / (1 / (depth_end + 1e-9) + inv_interv * d_idx)
+
+    depth = depth[..., None, None]  # (B, D, H', W', 1, 1)
+
+    K_left_inv = jnp.linalg.inv(K_left.astype(jnp.float32)).astype(dtype)
+    R_left_trans = jnp.swapaxes(R_left, -2, -1)
+    R_right_trans = jnp.swapaxes(R_right, -2, -1)
+
+    fronto_direction = R_left[:, 2:3, :3]  # (B, 1, 3)
+    c_left = -R_left_trans @ t_left
+    c_right = -R_right_trans @ t_right
+    c_relative = c_right - c_left
+
+    temp_vec = (c_relative @ fronto_direction)[:, None, None, None]  # (B,1,1,1,3,3)
+    eye = jnp.eye(3, dtype=dtype).reshape(1, 1, 1, 1, 3, 3)
+    middle_mat0 = eye - temp_vec / (depth + 1e-9)
+    middle_mat1 = (R_left_trans @ K_left_inv)[:, None, None, None]
+    middle_mat2 = middle_mat0 @ middle_mat1
+
+    homographies = (
+        K_right[:, None, None, None] @ R_right[:, None, None, None] @ middle_mat2
+    )
+    return homographies
+
+
+def homography_warping(feat, H_mat):
+    """Warp (B, H, W, C) features by 3x3 homographies.
+
+    H_mat: (B, 3, 3) or (B, H, W, 3, 3). Pixel-center grids (+0.5), warped
+    coords divided by image size, scaled to [-1, 1], clamped to +-1.1, then
+    align_corners=False sampling with zeros padding (reference:
+    blocks/utils.py:154-186).
+    """
+    B, Hh, Ww, C = feat.shape
+    dtype = feat.dtype
+    ys, xs = jnp.meshgrid(
+        jnp.arange(Hh, dtype=dtype) + 0.5,
+        jnp.arange(Ww, dtype=dtype) + 0.5,
+        indexing="ij",
+    )
+    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
+
+    if H_mat.ndim == 3:
+        warped_h = jnp.einsum("bij,hwj->bhwi", H_mat, grid)
+    else:
+        warped_h = jnp.einsum("bhwij,hwj->bhwi", H_mat, grid)
+
+    wx = warped_h[..., 0] / (warped_h[..., 2] + 1e-9)
+    wy = warped_h[..., 1] / (warped_h[..., 2] + 1e-9)
+
+    # reference `interpolate`: divide by size, *2-1, clamp(-1.1, 1.1)
+    gx = jnp.clip((wx / Ww) * 2 - 1, -1.1, 1.1)
+    gy = jnp.clip((wy / Hh) * 2 - 1, -1.1, 1.1)
+
+    # align_corners=False unnormalization
+    xi = ((gx + 1) * Ww - 1) / 2
+    yi = ((gy + 1) * Hh - 1) / 2
+    warped, _ = bilinear_sample(
+        feat, xi.reshape(B, -1), yi.reshape(B, -1), padding_mode="zeros"
+    )
+    return warped.reshape(B, Hh, Ww, C)
