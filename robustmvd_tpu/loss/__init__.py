@@ -5,5 +5,6 @@ from .factory import create_loss
 from . import multi_scale_uni_laplace  # noqa: F401
 from . import single_scale_mae  # noqa: F401
 from . import multi_scale_mae  # noqa: F401
+from . import vismvsnet_multiscale_multiview_aggregate  # noqa: F401
 
 __all__ = ["register_loss", "list_losses", "has_loss", "get_loss", "create_loss"]

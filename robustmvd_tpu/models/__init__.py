@@ -4,6 +4,9 @@ from .helpers import ModelBase, add_run_function
 
 # Import model definitions so they self-register.
 from . import robust_mvd  # noqa: F401
+from . import mvsnet  # noqa: F401
+from . import vis_mvsnet  # noqa: F401
+from . import cvp_mvsnet  # noqa: F401
 
 __all__ = [
     "create_model",

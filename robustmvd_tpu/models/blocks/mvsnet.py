@@ -1,0 +1,147 @@
+"""MVSNet components in flax (NHWC / NDHWC).
+
+Reference parity (rmvd/models/blocks/mvsnet_components.py:8-123):
+``FeatureNet`` (2D CNN, 3->32ch at 1/4 res) and ``CostRegNet`` (3D-CNN
+U-Net hourglass over the (B, D, h, w, C) variance volume with BN+ReLU and
+transposed-conv up path). 3D convs run channel-last through XLA's
+conv_general_dilated, which tiles them onto the MXU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvBnReLU(nn.Module):
+    """Conv2d(bias=False) + BN + ReLU (reference: mvsnet_components.py:8-22)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.pad, self.pad), (self.pad, self.pad)),
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        return nn.relu(x)
+
+
+class ConvBnReLU3D(nn.Module):
+    """Conv3d(bias=False) + BN + ReLU (reference: mvsnet_components.py:25-41).
+
+    Input (B, D, H, W, C)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        k, s, p = self.kernel_size, self.stride, self.pad
+        x = nn.Conv(
+            self.features,
+            kernel_size=(k, k, k),
+            strides=(s, s, s),
+            padding=((p, p), (p, p), (p, p)),
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        return nn.relu(x)
+
+
+class TorchConvTranspose3d(nn.Module):
+    """torch ConvTranspose3d(k3, s2, p1, output_padding=1, bias=False):
+
+    out = 2*in on each spatial dim. Input-dilated correlation with
+    asymmetric high-side padding for the output_padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, mode="fan_out", distribution="normal"),
+            (k, k, k, in_features, self.features),
+        )
+        pad_lo = k - 1 - self.padding
+        pad_hi = k - 1 - self.padding + self.output_padding
+        pads = ((pad_lo, pad_hi),) * 3
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1, 1),
+            padding=pads,
+            lhs_dilation=(self.stride,) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+
+class DeconvBnReLU3D(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = TorchConvTranspose3d(self.features, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        return nn.relu(x)
+
+
+class FeatureNet(nn.Module):
+    """2D feature extractor: 3 -> 32 channels at 1/4 resolution
+
+    (reference: mvsnet_components.py:44-66)."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = ConvBnReLU(8, 3, 1, 1, name="conv0")(x, train)
+        x = ConvBnReLU(8, 3, 1, 1, name="conv1")(x, train)
+        x = ConvBnReLU(16, 5, 2, 2, name="conv2")(x, train)
+        x = ConvBnReLU(16, 3, 1, 1, name="conv3")(x, train)
+        x = ConvBnReLU(16, 3, 1, 1, name="conv4")(x, train)
+        x = ConvBnReLU(32, 5, 2, 2, name="conv5")(x, train)
+        x = ConvBnReLU(32, 3, 1, 1, name="conv6")(x, train)
+        x = nn.Conv(32, kernel_size=(3, 3), padding=((1, 1), (1, 1)), name="feature")(x)
+        return x
+
+
+class CostRegNet(nn.Module):
+    """3D U-Net cost regularizer -> 1-channel logits
+
+    (reference: mvsnet_components.py:69-123). Input (B, D, h, w, 32)."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        conv0 = ConvBnReLU3D(8, name="conv0")(x, train)
+        conv2 = ConvBnReLU3D(16, name="conv2")(
+            ConvBnReLU3D(16, stride=2, name="conv1")(conv0, train), train
+        )
+        conv4 = ConvBnReLU3D(32, name="conv4")(
+            ConvBnReLU3D(32, stride=2, name="conv3")(conv2, train), train
+        )
+        x = ConvBnReLU3D(64, name="conv6")(
+            ConvBnReLU3D(64, stride=2, name="conv5")(conv4, train), train
+        )
+        x = conv4 + DeconvBnReLU3D(32, name="conv7")(x, train)
+        x = conv2 + DeconvBnReLU3D(16, name="conv9")(x, train)
+        x = conv0 + DeconvBnReLU3D(8, name="conv11")(x, train)
+        x = nn.Conv(1, kernel_size=(3, 3, 3), padding=((1, 1), (1, 1), (1, 1)), name="prob")(x)
+        return x

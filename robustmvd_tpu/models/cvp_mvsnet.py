@@ -1,0 +1,226 @@
+"""CVP-MVSNet — coarse-to-fine cost-volume pyramid MVS, TPU-native.
+
+Reference parity (rmvd/models/cvp_mvsnet.py:60-321): feature pyramid over
+nscale=5 image scales; coarsest-level sweep with 48 uniform hypotheses +
+variance cost volume + shared 3D CostRegNet; then per-level bicubic x2
+upsampling + epipolar local-refinement hypotheses + proj_cost + the same
+CostRegNet + refined depth regression; confidence = 4-tap prob mass at the
+argmax index (:219-236); inputs /255 at a multiple of 64 (:259-288).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.homography import rt_planesweep_warp
+from ..utils.image import resize_bilinear as np_resize_bilinear
+from .blocks.cvp_mvsnet import (
+    CostRegNet,
+    FeaturePyramid,
+    cal_depth_hypos,
+    cal_sweeping_depth_hypos,
+    condition_intrinsics,
+    proj_cost_volume,
+)
+from .helpers import ModelBase
+from .registry import register_model
+from .robust_mvd import split_key_sources
+
+
+def _resize_bicubic_x2(depth):
+    """(B, H, W) -> (B, 2H, 2W) bicubic (reference: cvp_mvsnet.py:172-180)."""
+    B, H, W = depth.shape
+    return jax.image.resize(depth, (B, 2 * H, 2 * W), method="bicubic")
+
+
+class CVPMVSNetModule(nn.Module):
+    nscale: int = 5
+    mode: str = "test"
+
+    @nn.compact
+    def __call__(self, images, poses, intrinsics, keyview_idx, min_depth, max_depth):
+        """images: (B, V, H, W, 3) in [0, 1]; intrinsics ABSOLUTE (B, V, 3, 3)."""
+        B, V, H, W, _ = images.shape
+        nsrc = V - 1
+        dtype = images.dtype
+
+        image_key, images_src = split_key_sources(images, keyview_idx)
+        K_key, K_srcs = split_key_sources(intrinsics, keyview_idx)
+        pose_key, poses_src = split_key_sources(poses, keyview_idx)
+
+        pyramid = FeaturePyramid(name="featurePyramid")
+        ref_fp = pyramid(image_key, self.nscale)
+        src_fps = [pyramid(images_src[:, i], self.nscale) for i in range(nsrc)]
+
+        fp_shapes = [(f.shape[1], f.shape[2]) for f in ref_fp]
+        ref_K_ms = condition_intrinsics(K_key, (H, W), fp_shapes)  # (B, S, 3, 3)
+        src_K_ms = jnp.stack(
+            [condition_intrinsics(K_srcs[:, i], (H, W), fp_shapes) for i in range(nsrc)],
+            axis=1,
+        )  # (B, nsrc, S, 3, 3)
+
+        cost_reg = CostRegNet(name="cost_reg_refine")
+
+        # ---- coarsest level: uniform sweep + variance volume --------------
+        depth_hypos = cal_sweeping_depth_hypos(min_depth, max_depth, 48)  # (B, 48)
+        D0 = depth_hypos.shape[1]
+
+        ref_feat = ref_fp[-1]
+        h0, w0 = ref_feat.shape[1], ref_feat.shape[2]
+        ref_volume = jnp.broadcast_to(
+            ref_feat[:, None], (B, D0, h0, w0, ref_feat.shape[-1])
+        )
+        volume_sum = ref_volume
+        volume_sq_sum = ref_volume**2
+
+        def proj_mat(K, ex):
+            top = jnp.einsum("bij,bjk->bik", K, ex[:, :3, :])
+            bottom = jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 1], dtype).reshape(1, 1, 4), (B, 1, 4)
+            )
+            return jnp.concatenate([top, bottom], axis=1)
+
+        ref_proj_inv = jnp.linalg.inv(proj_mat(ref_K_ms[:, -1], pose_key))
+        for i in range(nsrc):
+            proj = proj_mat(src_K_ms[:, i, -1], poses_src[:, i]) @ ref_proj_inv
+            warped = rt_planesweep_warp(
+                src_fps[i][-1], proj[:, :3, :3], proj[:, :3, 3], depth_hypos
+            )
+            volume_sum = volume_sum + warped
+            volume_sq_sum = volume_sq_sum + warped**2
+        cost_volume = volume_sq_sum / (nsrc + 1) - (volume_sum / (nsrc + 1)) ** 2
+
+        logits = cost_reg(cost_volume, train=False)  # (B, D, h, w)
+        prob_volume = jax.nn.softmax(logits, axis=1)
+        depth = jnp.sum(prob_volume * depth_hypos[:, :, None, None], axis=1)  # (B,h,w)
+        depth_est_list = [depth]
+
+        # ---- refinement levels -------------------------------------------
+        for level in range(self.nscale - 2, -1, -1):
+            depth_up = _resize_bicubic_x2(depth)
+            hypos = cal_depth_hypos(
+                depth_up,
+                ref_K_ms[:, level],
+                src_K_ms[:, 0, level],
+                pose_key,
+                poses_src[:, 0],
+                mode=self.mode,
+            )  # (B, 2d, h, w)
+            cost_volume = proj_cost_volume(
+                ref_fp[level],
+                [src_fps[i][level] for i in range(nsrc)],
+                ref_K_ms[:, level],
+                src_K_ms[:, :, level],
+                pose_key,
+                poses_src,
+                hypos,
+            )
+            logits = cost_reg(cost_volume, train=False)
+            prob_volume = jax.nn.softmax(logits, axis=1)
+            depth = jnp.sum(prob_volume * hypos, axis=1)
+            depth_est_list.append(depth)
+
+        # ---- confidence (reference: :219-236) ----------------------------
+        Dp = prob_volume.shape[1]
+        padded = jnp.pad(prob_volume, ((0, 0), (1, 2), (0, 0), (0, 0)))
+        prob_sum4 = (
+            padded[:, 0:Dp] + padded[:, 1 : Dp + 1] + padded[:, 2 : Dp + 2] + padded[:, 3 : Dp + 3]
+        )
+        d_index = jnp.sum(
+            prob_volume * jnp.arange(Dp, dtype=dtype)[None, :, None, None], axis=1
+        ).astype(jnp.int32)
+        confidence = jnp.take_along_axis(prob_sum4, d_index[:, None], axis=1)[:, 0]
+
+        pred_depth = depth_est_list[-1]
+        pred = {
+            "depth": pred_depth[..., None],  # (B, H, W, 1)
+            "depth_uncertainty": (1.0 - confidence)[..., None],
+        }
+        aux = {"depth": pred["depth"], "depths_all": [d[..., None] for d in depth_est_list[::-1]]}
+        return pred, aux
+
+
+class CVPMVSNet(ModelBase):
+    def __init__(self, nscale=5, weights=None, train=False, seed=0, **_):
+        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test")
+        rng = jax.random.PRNGKey(seed)
+        dummy = {
+            "images": jnp.zeros((1, 3, 64, 64, 3)),
+            "poses": jnp.tile(jnp.eye(4), (1, 3, 1, 1)),
+            "intrinsics": jnp.tile(jnp.eye(3) * 32, (1, 3, 1, 1)),
+            "keyview_idx": jnp.zeros((1,), jnp.int32),
+            "min_depth": jnp.ones((1,)),
+            "max_depth": jnp.full((1,), 10.0),
+        }
+        variables = module.init(rng, **dummy)
+        if weights is not None:
+            from .weights import convert_torch_checkpoint
+
+            variables = convert_torch_checkpoint(weights)
+        super().__init__(module, variables, train=train)
+
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, min_depth=None, max_depth=None, **_):
+        if min_depth is None:
+            B = images.shape[0]
+            min_depth = jnp.full((B,), 0.2)
+            max_depth = jnp.full((B,), 100.0)
+        return self.module.apply(
+            variables, images, poses, intrinsics, keyview_idx, min_depth, max_depth
+        )
+
+    def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
+        """Multiple-of-64 resize + /255 normalization
+
+        (reference: cvp_mvsnet.py:259-288)."""
+        orig_ht, orig_wd = images[0].shape[-2:]
+        ht = int(math.ceil(orig_ht / 64.0) * 64.0)
+        wd = int(math.ceil(orig_wd / 64.0) * 64.0)
+        if (orig_ht, orig_wd) != (ht, wd):
+            sx, sy = wd / orig_wd, ht / orig_ht
+            images = [np_resize_bilinear(img, (ht, wd)) for img in images]
+            intrinsics = [
+                K * np.array([[sx, 1, sx], [1, sy, sy], [1, 1, 1]], dtype=np.float32)
+                for K in intrinsics
+            ]
+
+        images = [img / 255.0 for img in images]
+        if depth_range is None:
+            depth_range = (np.array([0.2]), np.array([100.0]))
+        lo, hi = depth_range
+
+        images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+        return {
+            "images": jnp.asarray(images_nhwc),
+            "poses": jnp.asarray(np.stack(poses, axis=1).astype(np.float32)),
+            "intrinsics": jnp.asarray(np.stack(intrinsics, axis=1).astype(np.float32)),
+            "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), jnp.int32),
+            "min_depth": jnp.asarray(np.asarray(lo).reshape(-1), jnp.float32),
+            "max_depth": jnp.asarray(np.asarray(hi).reshape(-1), jnp.float32),
+        }
+
+    def output_adapter(self, model_output):
+        pred, aux = model_output
+
+        def to_chw(x):
+            if hasattr(x, "ndim") and x.ndim == 4:
+                return np.asarray(x).transpose(0, 3, 1, 2)
+            return np.asarray(x) if hasattr(x, "shape") else x
+
+        pred = {k: to_chw(v) for k, v in pred.items()}
+        aux = {
+            k: [to_chw(i) for i in v] if isinstance(v, list) else to_chw(v)
+            for k, v in aux.items()
+        }
+        return pred, aux
+
+
+@register_model(trainable=False)
+def cvp_mvsnet(pretrained=True, weights=None, train=False, **kwargs):
+    """(reference: cvp_mvsnet.py:308-321 — no pretrained weights available)"""
+    kwargs.pop("num_sampling_steps", None)
+    return CVPMVSNet(weights=weights, train=train, **kwargs)

@@ -1,0 +1,227 @@
+"""MVSNet — fronto-parallel plane-sweep MVS, TPU-native.
+
+Reference parity (rmvd/models/mvsnet.py:31-217): projection matrices are
+K(scaled 1/4) @ pose with the key view's matrix inverted (:76-99);
+FeatureNet features; variance aggregation ``E[x^2] - E[x]^2`` over views
+(:124-137); CostRegNet 3D regularization; softmax + depth regression;
+confidence = 4-tap sum of the probability volume gathered at the argmax
+depth index (:143-160); 256 depth samples linear (or inverse) in the depth
+range (:46-74); ImageNet-normalized inputs at a multiple of 32 (:170-199).
+
+TPU-first: all views featurized in one conv pass; the per-view warped
+volumes accumulate into running (sum, sum-of-squares) so only two volumes
+are live (the psum-able form for sharding views across chips); channel-last
+3D convs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.homography import homo_warp
+from ..ops.reductions import depth_regression
+from ..utils import to_numpy
+from ..utils.image import resize_bilinear as np_resize_bilinear
+from .blocks.mvsnet import CostRegNet, FeatureNet
+from .helpers import ModelBase
+from .registry import register_model
+from .robust_mvd import split_key_sources
+
+
+class MVSNetModule(nn.Module):
+    sample_in_inv_depth_space: bool = False
+    num_sampling_steps: int = 192
+    train_bn: bool = False
+
+    @nn.compact
+    def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None):
+        """images: (B, V, H, W, 3) normalized; intrinsics: (B, V, 3, 3)
+
+        ABSOLUTE pixel intrinsics; poses: (B, V, 4, 4); depth_range:
+        (min (B,), max (B,)) or None."""
+        B, V, H, W, _ = images.shape
+        D = self.num_sampling_steps
+        dtype = images.dtype
+
+        # depth hypotheses (reference: mvsnet.py:46-74) — linear between the
+        # *first sample's* range values, as in the reference (min_depth[0]).
+        if depth_range is None:
+            lo, hi = 0.2, 100.0
+            lo = jnp.full((), lo, dtype)
+            hi = jnp.full((), hi, dtype)
+        else:
+            min_depth, max_depth = depth_range
+            lo = jnp.asarray(min_depth, dtype).reshape(-1)[0]
+            hi = jnp.asarray(max_depth, dtype).reshape(-1)[0]
+
+        steps = jnp.linspace(0.0, 1.0, D, dtype=dtype)
+        if self.sample_in_inv_depth_space:
+            inv = 1.0 / hi + steps * (1.0 / lo - 1.0 / hi)
+            depth_samples = (1.0 / inv)[::-1]
+        else:
+            depth_samples = lo + steps * (hi - lo)
+        depth_samples = jnp.broadcast_to(depth_samples[None], (B, D))
+
+        # projection matrices (reference: mvsnet.py:76-99): scale K by 1/4
+        # (model stride), proj = [K@pose[:3,:4]; 0 0 0 1]; invert the key's.
+        scale = jnp.asarray([[0.25] * 3, [0.25] * 3, [1.0] * 3], dtype)
+        K_scaled = intrinsics * scale  # (B, V, 3, 3)
+        top = jnp.einsum("bvij,bvjk->bvik", K_scaled, poses[:, :, :3, :4])
+        bottom = jnp.broadcast_to(
+            jnp.asarray([0, 0, 0, 1], dtype).reshape(1, 1, 1, 4), (B, V, 1, 4)
+        )
+        proj = jnp.concatenate([top, bottom], axis=2)  # (B, V, 4, 4)
+
+        is_key = jnp.arange(V)[None, :] == keyview_idx.reshape(-1, 1)
+        proj_inv = jnp.linalg.inv(proj)
+        proj = jnp.where(is_key[..., None, None], proj_inv, proj)
+
+        # key/source ordering
+        images_key, images_src = split_key_sources(images, keyview_idx)
+        proj_key, proj_src = split_key_sources(proj, keyview_idx)
+
+        # featurize all views at once
+        feats = FeatureNet(name="feature")(
+            images.reshape(B * V, H, W, 3), train=self.train_bn
+        )
+        h, w, F = feats.shape[1], feats.shape[2], feats.shape[3]
+        feats = feats.reshape(B, V, h, w, F)
+        ref_feats, src_feats = split_key_sources(feats, keyview_idx)
+
+        # variance cost volume: running sum / sum-of-squares over views
+        # (reference: mvsnet.py:124-137) — associative, psum-able.
+        ref_volume = jnp.broadcast_to(ref_feats[:, None], (B, D, h, w, F))
+        volume_sum = ref_volume
+        volume_sq_sum = ref_volume**2
+
+        def add_view(carry, view):
+            vsum, vsq = carry
+            src_feat, src_proj = view
+            warped = homo_warp(src_feat, src_proj, proj_key, depth_samples)
+            return (vsum + warped, vsq + warped**2), None
+
+        (volume_sum, volume_sq_sum), _ = jax.lax.scan(
+            add_view,
+            (volume_sum, volume_sq_sum),
+            (jnp.moveaxis(src_feats, 1, 0), jnp.moveaxis(proj_src, 1, 0)),
+        )
+        volume_variance = volume_sq_sum / V - (volume_sum / V) ** 2
+
+        # 3D regularization + probability volume
+        cost_reg = CostRegNet(name="cost_regularization")(
+            volume_variance, train=self.train_bn
+        )[..., 0]  # (B, D, h, w)
+        prob_volume = jax.nn.softmax(cost_reg, axis=1)
+        depth = jnp.sum(prob_volume * depth_samples[:, :, None, None], axis=1)
+
+        # confidence: prob mass over 4 consecutive hypotheses at the argmax
+        # expectation index (reference: mvsnet.py:143-160)
+        padded = jnp.pad(prob_volume, ((0, 0), (1, 2), (0, 0), (0, 0)))
+        prob_sum4 = (
+            padded[:, 0:D] + padded[:, 1 : D + 1] + padded[:, 2 : D + 2] + padded[:, 3 : D + 3]
+        )
+        d_index = jnp.sum(
+            prob_volume * jnp.arange(D, dtype=dtype)[None, :, None, None], axis=1
+        ).astype(jnp.int32)
+        confidence = jnp.take_along_axis(prob_sum4, d_index[:, None], axis=1)[:, 0]
+        uncertainty = 1.0 - confidence
+
+        pred = {
+            "depth": depth[..., None],  # (B, h, w, 1)
+            "depth_uncertainty": uncertainty[..., None],
+        }
+        aux = {
+            "depth": pred["depth"],
+            "sampling_invdepths": 1.0 / depth_samples[:, ::-1],
+        }
+        return pred, aux
+
+
+class MVSNet(ModelBase):
+    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0):
+        module = MVSNetModule(
+            sample_in_inv_depth_space=sample_in_inv_depth_space,
+            num_sampling_steps=num_sampling_steps,
+            train_bn=False,
+        )
+        rng = jax.random.PRNGKey(seed)
+        dummy = {
+            "images": jnp.zeros((1, 2, 64, 64, 3)),
+            "poses": jnp.tile(jnp.eye(4), (1, 2, 1, 1)),
+            "intrinsics": jnp.tile(jnp.eye(3) * 32, (1, 2, 1, 1)),
+            "keyview_idx": jnp.zeros((1,), jnp.int32),
+            "depth_range": (jnp.ones((1,)), jnp.full((1,), 10.0)),
+        }
+        variables = module.init(rng, **dummy)
+        if weights is not None:
+            from .weights import convert_torch_checkpoint
+
+            variables = convert_torch_checkpoint(weights)
+        super().__init__(module, variables, train=train)
+
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, **_):
+        return self.module.apply(
+            variables, images, poses, intrinsics, keyview_idx, depth_range
+        )
+
+    def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
+        """Multiple-of-32 resize + ImageNet normalization
+
+        (reference: mvsnet.py:170-199)."""
+        orig_ht, orig_wd = images[0].shape[-2:]
+        ht = int(math.ceil(orig_ht / 32.0) * 32.0)
+        wd = int(math.ceil(orig_wd / 32.0) * 32.0)
+        if (orig_ht, orig_wd) != (ht, wd):
+            sx, sy = wd / orig_wd, ht / orig_ht
+            images = [np_resize_bilinear(img, (ht, wd)) for img in images]
+            intrinsics = [
+                K * np.array([[sx, 1, sx], [1, sy, sy], [1, 1, 1]], dtype=np.float32)
+                for K in intrinsics
+            ]
+
+        shift = np.array([0.485, 0.456, 0.406], np.float32)
+        scale = np.array([0.229, 0.224, 0.225], np.float32)
+        images = [
+            ((img / 255.0) - shift[:, None, None]) / scale[:, None, None]
+            for img in images
+        ]
+
+        images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+        sample = {
+            "images": jnp.asarray(images_nhwc),
+            "poses": jnp.asarray(np.stack(poses, axis=1).astype(np.float32)),
+            "intrinsics": jnp.asarray(np.stack(intrinsics, axis=1).astype(np.float32)),
+            "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), jnp.int32),
+        }
+        if depth_range is not None:
+            lo, hi = depth_range
+            sample["depth_range"] = (
+                jnp.asarray(np.asarray(lo).reshape(-1), jnp.float32),
+                jnp.asarray(np.asarray(hi).reshape(-1), jnp.float32),
+            )
+        return sample
+
+    def output_adapter(self, model_output):
+        pred, aux = model_output
+
+        def to_chw(x):
+            if hasattr(x, "ndim") and x.ndim == 4:
+                return np.asarray(x).transpose(0, 3, 1, 2)
+            return np.asarray(x) if hasattr(x, "ndim") else x
+
+        pred = {k: to_chw(v) for k, v in pred.items()}
+        aux = {k: to_chw(v) if not isinstance(v, list) else [to_chw(i) for i in v] for k, v in aux.items()}
+        return pred, aux
+
+
+@register_model(trainable=False)
+def mvsnet_train(pretrained=True, weights=None, train=False, **kwargs):
+    """(reference: mvsnet.py:206-217 — registered without pretrained weights)"""
+    cfg = {"sample_in_inv_depth_space": False, "num_sampling_steps": 256}
+    cfg.update(kwargs)
+    return MVSNet(weights=weights, train=train, **cfg)

@@ -107,28 +107,85 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None):
     return corr, mask
 
 
-def _corr_gather(feat_key, feat_src, us, vs, vis_mask):
-    """Warp source features per hypothesis, then dot with key features."""
+def _corr_gather(feat_key, feat_src, us, vs, vis_mask, slab_size=16):
+    """Hypothesis-slab row-gather + fused dot — the fast TPU formulation.
+
+    TPU gathers are efficient only when fetching contiguous *rows* (full
+    lane vectors); gathering scalars along the minor axis serializes on the
+    scalar unit (the matmul formulation's score gather costs ~300 ms per
+    KITTI-sized view that way). Here each of the 4 bilinear taps is a row
+    gather of C-wide feature vectors from the flattened source map — the
+    embedding-lookup pattern the hardware likes — and the dot against the
+    key features fuses into the gather consumer. A lax.scan over hypothesis
+    slabs bounds the live intermediate to (B, slab*H*W, C), which also maps
+    directly onto hypothesis-sharded meshes.
+    """
     B, H, W, C = feat_key.shape
+    Hs, Ws = feat_src.shape[1], feat_src.shape[2]
     S = us.shape[1]
+    dtype = feat_key.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(C, dtype=jnp.float32))
 
-    x = us.reshape(B, S * H * W) - 0.5
-    y = vs.reshape(B, S * H * W) - 0.5
-    warped, in_bounds = bilinear_sample(feat_src, x, y, padding_mode="zeros")
-    warped = warped.reshape(B, S, H, W, C)
-    in_bounds = in_bounds.reshape(B, S, H, W)
+    slab_size = min(slab_size, S)
+    while S % slab_size != 0:
+        slab_size -= 1
+    num_slabs = S // slab_size
 
-    corr = jnp.einsum(
-        "bshwc,bhwc->bshw",
-        warped,
-        feat_key,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
+    src_flat = feat_src.reshape(B, Hs * Ws, C)
+    ref = feat_key.reshape(B, 1, H * W, C)
 
-    mask = in_bounds * vis_mask.astype(feat_key.dtype)
-    corr = corr * mask
+    # (num_slabs, B, slab, H, W)
+    def to_slabs(a):
+        return jnp.moveaxis(
+            a.reshape(B, num_slabs, slab_size, H, W), 1, 0
+        )
+
+    us_s = to_slabs(us)
+    vs_s = to_slabs(vs)
+    vis_s = to_slabs(vis_mask.astype(dtype))
+
+    def slab_fn(_, slab):
+        u, v, vis = slab  # (B, slab, H, W)
+        x = u - 0.5
+        y = v - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        corr = jnp.zeros((B, slab_size, H * W), jnp.float32)
+        wsum = jnp.zeros((B, slab_size, H * W), dtype)
+
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0i + dx
+                yi = y0i + dy
+                valid = (
+                    (xi >= 0) & (xi <= Ws - 1) & (yi >= 0) & (yi <= Hs - 1)
+                )
+                idx = jnp.clip(yi, 0, Hs - 1) * Ws + jnp.clip(xi, 0, Ws - 1)
+                idx = idx.reshape(B, slab_size * H * W)
+                rows = jnp.take_along_axis(src_flat, idx[..., None], axis=1)
+                rows = rows.reshape(B, slab_size, H * W, C)
+                wxx = (wx if dx == 1 else 1.0 - wx).reshape(B, slab_size, H * W)
+                wyy = (wy if dy == 1 else 1.0 - wy).reshape(B, slab_size, H * W)
+                w = wxx * wyy * valid.reshape(B, slab_size, H * W).astype(dtype)
+                corr = corr + w * jnp.sum(
+                    rows * ref, axis=-1, dtype=jnp.float32
+                )
+                wsum = wsum + w
+
+        in_bounds = (wsum >= 0.9999).astype(dtype)
+        mask = in_bounds * vis.reshape(B, slab_size, H * W)
+        corr = corr.astype(dtype) * scale * mask
+        return None, (corr, mask)
+
+    _, (corr, mask) = jax.lax.scan(slab_fn, None, (us_s, vs_s, vis_s))
+    # (num_slabs, B, slab, HW) -> (B, H, W, S)
+    corr = jnp.moveaxis(corr, 0, 1).reshape(B, S, H, W)
+    mask = jnp.moveaxis(mask, 0, 1).reshape(B, S, H, W)
     corr = jnp.transpose(corr, (0, 2, 3, 1))
     mask = jnp.transpose(mask, (0, 2, 3, 1))
     return corr, mask

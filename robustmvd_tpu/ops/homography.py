@@ -67,6 +67,50 @@ def homo_warp(src_feat, src_proj, ref_proj_inv, depth_values):
     return warped.reshape(B, D, H, W, C)
 
 
+def rt_planesweep_warp(src_feat, rot, trans, depth_hypos):
+    """R,t-based plane-sweep warp with per-pixel depth hypotheses
+
+    (reference: rmvd/models/blocks/cvp_mvsnet_components.py:192-246
+    `homo_warping` and :375-456 `proj_cost`): back-project integer ref
+    pixel coords, scale by per-pixel depths, transform, project; the
+    reference's align_corners=True normalization followed by
+    align_corners=False sampling is preserved (index = x*W/(W-1) - 0.5).
+
+    Args:
+        src_feat: (B, H, W, C).
+        rot: (B, 3, 3); trans: (B, 3).
+        depth_hypos: (B, D) or (B, D, H*W).
+
+    Returns:
+        (B, D, H, W, C) warped features (zeros padding).
+    """
+    B, H, W, C = src_feat.shape
+    D = depth_hypos.shape[1]
+    dtype = src_feat.dtype
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+    )
+    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)  # (HW, 3)
+    rot_xyz = jnp.einsum("bij,pj->bpi", rot, grid)  # (B, HW, 3)
+
+    if depth_hypos.ndim == 2:
+        depth = depth_hypos[:, :, None, None]  # (B, D, 1, 1)
+    else:
+        depth = depth_hypos[:, :, :, None]  # (B, D, HW, 1)
+
+    pts = rot_xyz[:, None] * depth + trans[:, None, None, :]  # (B, D, HW, 3)
+    z = pts[..., 2]
+    x = pts[..., 0] / z
+    y = pts[..., 1] / z
+    xi = x * (W / (W - 1)) - 0.5
+    yi = y * (H / (H - 1)) - 0.5
+    warped, _ = bilinear_sample(
+        src_feat, xi.reshape(B, -1), yi.reshape(B, -1), padding_mode="zeros"
+    )
+    return warped.reshape(B, D, H, W, C)
+
+
 def get_homographies(left_cam, right_cam, depth_num, depth_start, depth_interval, inv=False):
     """Per-depth 3x3 homographies between two cameras (Vis-MVSNet).
 

@@ -1,0 +1,79 @@
+"""Model forward smoke tests: shapes, finiteness, key/source splitting."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robustmvd_tpu.models import create_model, list_models
+from robustmvd_tpu.models.robust_mvd import split_key_sources
+
+
+def test_list_models():
+    models = list_models()
+    assert "robust_mvd" in models
+    assert "robust_mvd_5M" in models
+    assert "mvsnet_train" in models
+    assert "robust_mvd" in list_models(trainable_only=True)
+    assert "mvsnet_train" not in list_models(trainable_only=True)
+
+
+def test_split_key_sources(rng):
+    B, V = 3, 4
+    x = jnp.asarray(rng.rand(B, V, 2).astype(np.float32))
+    kv = jnp.asarray(np.array([0, 2, 3]))
+    key, sources = split_key_sources(x, kv)
+    np.testing.assert_allclose(np.asarray(key)[0], np.asarray(x)[0, 0])
+    np.testing.assert_allclose(np.asarray(key)[1], np.asarray(x)[1, 2])
+    np.testing.assert_allclose(np.asarray(key)[2], np.asarray(x)[2, 3])
+    # sources preserve original order with the key removed
+    np.testing.assert_allclose(np.asarray(sources)[1], np.asarray(x)[1, [0, 1, 3]])
+    np.testing.assert_allclose(np.asarray(sources)[2], np.asarray(x)[2, [0, 1, 2]])
+
+
+@pytest.mark.slow
+def test_robust_mvd_forward_run(rng):
+    model = create_model("robust_mvd", pretrained=False, weights=None)
+    B, V, H, W = 1, 3, 128, 192
+    images = [rng.rand(B, 3, H, W).astype(np.float32) * 255 for _ in range(V)]
+    K = np.array([[[500, 0, 96], [0, 500, 64], [0, 0, 1]]], dtype=np.float32)
+    Ks = [K.copy() for _ in range(V)]
+    poses = [np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)) for _ in range(V)]
+    for i in range(1, V):
+        poses[i][:, 0, 3] = 0.1 * i
+    pred, aux = model.run(
+        images=images, keyview_idx=np.array([0]), poses=poses, intrinsics=Ks
+    )
+    assert pred["depth"].shape == (B, 1, H // 2, W // 2)
+    assert pred["depth_uncertainty"].shape == (B, 1, H // 2, W // 2)
+    assert np.isfinite(pred["depth"]).all()
+    assert len(aux["invdepths_all"]) == 6
+    # coarse-to-fine scales 1/64 .. 1/2
+    assert aux["invdepths_all"][0].shape[-2:] == (H // 64, W // 64)
+    assert aux["invdepths_all"][-1].shape[-2:] == (H // 2, W // 2)
+
+
+@pytest.mark.slow
+def test_mvsnet_forward_run(rng):
+    model = create_model(
+        "mvsnet_train", pretrained=False, weights=None, num_sampling_steps=32
+    )
+    B, V, H, W = 1, 3, 64, 96
+    images = [rng.rand(B, 3, H, W).astype(np.float32) * 255 for _ in range(V)]
+    K = np.array([[[80, 0, 48], [0, 80, 32], [0, 0, 1]]], dtype=np.float32)
+    Ks = [K.copy() for _ in range(V)]
+    poses = [np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)) for _ in range(V)]
+    for i in range(1, V):
+        poses[i][:, 0, 3] = 0.1 * i
+    pred, aux = model.run(
+        images=images,
+        keyview_idx=np.array([0]),
+        poses=poses,
+        intrinsics=Ks,
+        depth_range=(np.array([2.0]), np.array([10.0])),
+    )
+    assert pred["depth"].shape == (B, 1, H // 4, W // 4)
+    assert np.isfinite(pred["depth"]).all()
+    d = pred["depth"]
+    assert d.min() >= 2.0 - 1e-3 and d.max() <= 10.0 + 1e-3
