@@ -26,7 +26,7 @@ def valid_mean(arr, mask, axis=None, keepdims=False):
     with np.errstate(divide="ignore", invalid="ignore"):
         mean = masked_sum / num_valid
         is_valid = np.isfinite(mean)
-        mean = np.nan_to_num(mean, copy=False, nan=0, posinf=0, neginf=0)
+        mean = np.nan_to_num(mean, nan=0, posinf=0, neginf=0)
     return mean, is_valid
 
 
