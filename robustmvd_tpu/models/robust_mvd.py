@@ -83,7 +83,10 @@ class RobustMVDModule(nn.Module):
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx):
+        from ..parallel.context import constrain
+
         B, V, H, W, C = images.shape
+        images = constrain(images, "data")
 
         encoder = DispnetEncoder(name="encoder")
         all_enc, _ = encoder(images.reshape(B * V, H, W, C))
@@ -95,6 +98,9 @@ class RobustMVDModule(nn.Module):
 
         K_key, K_sources = split_key_sources(intrinsics, keyview_idx)
         _, key_to_source = split_key_sources(poses, keyview_idx)
+
+        # shard source views across the "view" mesh axis
+        enc_sources = constrain(enc_sources, "data", "view")
 
         ctx = DispnetContextEncoder(name="context_encoder")(enc_key)
 
@@ -110,7 +116,15 @@ class RobustMVDModule(nn.Module):
             impl=self.corr_impl,
         )
 
+        # correlation volumes: views over "view", hypothesis slabs over "hyp";
+        # LearnedFusion's weighted sum over V becomes a psum, the hypothesis
+        # axis stays sharded through the elementwise fusion and is gathered
+        # where the cost-volume encoder consumes it as channels.
+        corrs = constrain(corrs, "data", "view", None, None, "hyp")
+        masks = constrain(masks, "data", "view", None, None, "hyp")
+
         fused_corr, _ = LearnedFusion(name="fusion_block")(corrs, masks)
+        fused_corr = constrain(fused_corr, "data", None, None, None)
 
         all_enc_fused, enc_fused = DispnetCostvolumeEncoder(name="fusion_enc_block")(
             corr=fused_corr, ctx=ctx

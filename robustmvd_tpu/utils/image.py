@@ -17,11 +17,20 @@ def _source_coords_halfpixel(out_size: int, in_size: int) -> np.ndarray:
 
 
 def resize_bilinear(img: np.ndarray, size) -> np.ndarray:
-    """Bilinear resize of (..., H, W) with half-pixel centers, no antialias."""
+    """Bilinear resize of (..., H, W) with half-pixel centers, no antialias.
+
+    Dispatches to the native C++ kernel (robustmvd_tpu/native/rmvd_io.cpp)
+    when available; numpy fallback below is semantically identical."""
     out_h, out_w = int(size[0]), int(size[1])
     in_h, in_w = img.shape[-2], img.shape[-1]
     if (in_h, in_w) == (out_h, out_w):
         return np.asarray(img, dtype=np.float32)
+
+    from .native import resize_bilinear_native
+
+    native = resize_bilinear_native(img, (out_h, out_w))
+    if native is not None:
+        return native
 
     img = np.asarray(img, dtype=np.float32)
 

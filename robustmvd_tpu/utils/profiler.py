@@ -1,0 +1,65 @@
+"""Profiling: jax.profiler traces + burn-in step timing.
+
+The reference only has wall-clock timing with burn-in exclusion
+(rmvd/utils/writer.py:303-329 `TimeWriter`;
+rmvd/eval/multi_view_depth_evaluation.py:549-572). The TPU build adds real
+profiler traces (XPlane, viewable in TensorBoard/Perfetto) plus the same
+burn-in convention, and device-memory stats in place of torch.cuda
+counters.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir):
+    """Capture a jax.profiler trace into ``log_dir``.
+
+    View with TensorBoard's profile plugin or ui.perfetto.dev."""
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(fn, *args, iters=10, burn_in=3, force=None):
+    """Steady-state timing of a jitted fn with burn-in samples excluded.
+
+    ``force`` converts the output to something whose fetch forces
+    execution; defaults to jax.block_until_ready. Returns seconds/iter.
+    """
+    if force is None:
+        force = lambda out: jax.block_until_ready(out)
+
+    for _ in range(burn_in):
+        force(fn(*args))
+    start = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    force(out)
+    return (time.perf_counter() - start) / iters
+
+
+def device_memory_stats(device=None):
+    """Peak/current device memory in MiB (the torch.cuda.max_memory_*
+
+    analogue; availability depends on the backend)."""
+    device = device or jax.local_devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return {}
+    out = {}
+    if stats:
+        for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if key in stats:
+                out[key.replace("bytes", "mib")] = int(stats[key] / 1024 / 1024)
+    return out
