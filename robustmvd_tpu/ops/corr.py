@@ -38,7 +38,7 @@ from .epipolar import EpipolarCoeffs, make_epipolar_coeffs, planesweep_points, s
 from .sampling import bilinear_sample
 
 
-def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None):
+def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_pallas=False):
     """All-pairs matmul + scalar bilinear gather along rows.
 
     feat_key: (B, H, W, C); feat_src: (B, Hs, Ws, C);
@@ -96,6 +96,14 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None):
     P = H * W
     dtype32 = jnp.float32
 
+    if use_pallas:
+        from .pallas.planesweep_sample import planesweep_sample
+
+        out = jax.vmap(
+            lambda ci, yy, wyy, xx, wxx: planesweep_sample(ci, yy, wyy, xx, wxx)
+        )(corr_img, y0i, wy, x0i, wx)
+        return _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws)
+
     slab = S
     for cand in (64, 32, 16, 8, 4, 2, 1):
         if S % cand == 0:
@@ -136,6 +144,13 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None):
 
     _, out = jax.lax.scan(slab_fn, None, (y0_s, wy_s, x0_s, wx_s))
     out = jnp.moveaxis(out, 0, 2).reshape(B, P, S)
+    return _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws)
+
+
+def _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws):
+    """Apply the all-taps-in-bounds + visibility mask and reshape to
+
+    (B, H, W, S) (shared by the XLA and Pallas sampling paths)."""
 
     def tap_valid(dy, dx):
         xi = x0i + dx
@@ -149,7 +164,7 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None):
     in_bounds = (wsum >= 0.9999).astype(feat_key.dtype)  # all taps valid
     vis = jnp.transpose(vis_mask, (0, 2, 3, 1)).reshape(B, H * W, S)
     mask = in_bounds * vis.astype(feat_key.dtype)
-    corr = out * mask
+    corr = out.astype(feat_key.dtype) * mask
 
     corr = corr.reshape(B, H, W, S)
     mask = mask.reshape(B, H, W, S)
@@ -278,6 +293,8 @@ def planesweep_correlation_single(
 
     if impl == "matmul":
         return _corr_matmul(feat_key, feat_src, us, vs, vis)
+    elif impl == "pallas":
+        return _corr_matmul(feat_key, feat_src, us, vs, vis, use_pallas=True)
     elif impl == "gather":
         return _corr_gather(feat_key, feat_src, us, vs, vis)
     else:

@@ -61,7 +61,7 @@ def small_problem(rng):
     return feat_key, feat_src, K, T, invd
 
 
-@pytest.mark.parametrize("impl", ["matmul", "gather"])
+@pytest.mark.parametrize("impl", ["matmul", "gather", "pallas"])
 def test_corr_matches_brute_force(small_problem, impl):
     feat_key, feat_src, K, T, invd = small_problem
     H, W = feat_key.shape[1:3]
