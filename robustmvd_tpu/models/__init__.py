@@ -7,6 +7,7 @@ from . import robust_mvd  # noqa: F401
 from . import mvsnet  # noqa: F401
 from . import vis_mvsnet  # noqa: F401
 from . import cvp_mvsnet  # noqa: F401
+from . import wrappers  # noqa: F401
 
 __all__ = [
     "create_model",

@@ -291,7 +291,9 @@ class MultiViewDepthTraining:
                     start_print = time.time()
                     steps_since_print = 0
 
-                if self.finished_iterations % self.log_loss_interval == 0:
+                if self.finished_iterations % self.log_interval == 0:
+                    self._log_all(sample_inputs, sample_gt, loss_val, sub_losses)
+                elif self.finished_iterations % self.log_loss_interval == 0:
                     self._log_loss(loss_val, sub_losses)
 
                 self.finished_iterations += 1
@@ -314,6 +316,48 @@ class MultiViewDepthTraining:
         self._write_checkpoints()
         logging.info(f"Finished training {self.name}.")
         return self.state
+
+    def _log_all(self, sample_inputs, sample_gt, loss_val, sub_losses):
+        """Rich interval logging: losses, inputs, predictions and parameter
+
+        histograms (reference: multi_view_depth_training.py:366-487)."""
+        self._log_loss(loss_val, sub_losses)
+        step = self.finished_iterations
+
+        try:
+            from ..utils.vis import colormap_2d
+
+            pred, aux = self.model.apply_fn(
+                self.state["variables"], **sample_inputs
+            )
+            img0 = np.asarray(sample_inputs["images"][0, 0])  # (H, W, 3)
+            writer.put_tensor(
+                "00_inputs/key_image",
+                np.clip((img0 - img0.min()) / (img0.ptp() + 1e-9) * 255, 0, 255).astype(
+                    np.uint8
+                ),
+                step=step,
+            )
+            if "depth" in sample_gt:
+                writer.put_tensor(
+                    "01_gt/depth", colormap_2d(np.asarray(sample_gt["depth"][0, ..., 0])), step=step
+                )
+            if "depth" in pred:
+                writer.put_tensor(
+                    "02_pred/depth", colormap_2d(np.asarray(pred["depth"][0, ..., 0])), step=step
+                )
+        except Exception:
+            pass
+
+        params = jax.device_get(self.state["variables"].get("params", {}))
+        for top, subtree in params.items() if isinstance(params, dict) else []:
+            leaves = jax.tree_util.tree_leaves(subtree)
+            if leaves:
+                flat = np.concatenate([np.asarray(l).ravel() for l in leaves])
+                writer.put_histogram(f"03_params/{top}", flat, step=step)
+                writer.put_scalar(
+                    f"03_params/{top}_norm", float(np.linalg.norm(flat)), step=step
+                )
 
     def _log_loss(self, loss_val, sub_losses):
         step = self.finished_iterations

@@ -19,6 +19,7 @@ from .geometry import (
 )
 from .image import resize_bilinear, resize_nearest
 from .paths import get_path, load_paths
+from .utils_misc import get_full_class_name, prepend_level, set_random_seed
 from . import logging
 
 __all__ = [
@@ -41,5 +42,8 @@ __all__ = [
     "resize_nearest",
     "get_path",
     "load_paths",
+    "get_full_class_name",
+    "prepend_level",
+    "set_random_seed",
     "logging",
 ]

@@ -1,0 +1,32 @@
+"""Misc utilities (reference parity: rmvd/utils/utils.py:12-19 `set_random_seed`,
+`get_full_class_name`; rmvd/utils/pandas_utils.py:4-5 `prepend_level`)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def set_random_seed(seed):
+    """Seed python + numpy (jax keys are explicit; torch seeded if loaded)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    try:
+        import sys
+
+        if "torch" in sys.modules:
+            sys.modules["torch"].manual_seed(seed)
+    except Exception:
+        pass
+
+
+def get_full_class_name(obj):
+    cls = obj if isinstance(obj, type) else type(obj)
+    return f"{cls.__module__}.{cls.__qualname__}"
+
+
+def prepend_level(df, name, value, axis=1):
+    import pandas as pd
+
+    return pd.concat({value: df}, names=[name], axis=axis)

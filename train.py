@@ -101,6 +101,17 @@ def train(args):
     scheduler = create_scheduler(name=args.scheduler, optimizer=optimizer)
     loss = create_loss(name=args.loss, model=model)
 
+    # multi-host: each host runs this same command with
+    # RMVD_TPU_COORDINATOR / RMVD_TPU_NUM_PROCESSES / RMVD_TPU_PROCESS_ID set
+    if os.environ.get("RMVD_TPU_COORDINATOR"):
+        from robustmvd_tpu.parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator_address=os.environ["RMVD_TPU_COORDINATOR"],
+            num_processes=int(os.environ.get("RMVD_TPU_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("RMVD_TPU_PROCESS_ID", "0")),
+        )
+
     mesh = None
     if args.data_parallel:
         from robustmvd_tpu.parallel import MeshSpec, make_mesh
