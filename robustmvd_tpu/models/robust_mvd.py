@@ -80,6 +80,7 @@ class RobustMVDModule(nn.Module):
     min_depth: float = 0.4
     max_depth: float = 1000.0
     corr_impl: str = "matmul"
+    remat: bool = True
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx):
@@ -88,7 +89,17 @@ class RobustMVDModule(nn.Module):
         B, V, H, W, C = images.shape
         images = constrain(images, "data")
 
-        encoder = DispnetEncoder(name="encoder")
+        # rematerialize the conv blocks under autodiff: their activations
+        # (esp. the full-res encoder features over all views) dominate HBM
+        # at training batch sizes; recompute is cheap relative to the saved
+        # memory (jax.checkpoint / SURVEY §0 "trade FLOPs for memory").
+        Enc = nn.remat(DispnetEncoder) if self.remat else DispnetEncoder
+        CostEnc = (
+            nn.remat(DispnetCostvolumeEncoder) if self.remat else DispnetCostvolumeEncoder
+        )
+        Dec = nn.remat(DispnetDecoder) if self.remat else DispnetDecoder
+
+        encoder = Enc(name="encoder")
         all_enc, _ = encoder(images.reshape(B * V, H, W, C))
         all_enc = {k: v.reshape(B, V, *v.shape[1:]) for k, v in all_enc.items()}
 
@@ -126,11 +137,11 @@ class RobustMVDModule(nn.Module):
         fused_corr, _ = LearnedFusion(name="fusion_block")(corrs, masks)
         fused_corr = constrain(fused_corr, "data", None, None, None)
 
-        all_enc_fused, enc_fused = DispnetCostvolumeEncoder(name="fusion_enc_block")(
+        all_enc_fused, enc_fused = CostEnc(name="fusion_enc_block")(
             corr=fused_corr, ctx=ctx
         )
 
-        dec = DispnetDecoder(name="decoder")(
+        dec = Dec(name="decoder")(
             enc_fused=enc_fused,
             all_enc={
                 "conv1": conv1_key,

@@ -121,6 +121,10 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
     y0_s, wy_s = to_slabs(y0i), to_slabs(wy)
     x0_s, wx_s = to_slabs(x0i), to_slabs(wx)
 
+    # remat the slab body: without it, autodiff stacks the (B, P, slab, Ws)
+    # partial products across all scan steps (x views under vmap) — gigabytes
+    # of residuals for an intermediate that is trivial to recompute.
+    @jax.checkpoint
     def slab_fn(_, slab_in):
         y0b, wyb, x0b, wxb = slab_in  # (B, P, slab)
         # ry: (B, P, slab, Hs) two-hot interpolation weights over rows
@@ -345,6 +349,11 @@ def planesweep_correlation(
             intrinsics_key[:, None], (B, V, 3, 3)
         )
 
+    # Rematerialize the per-view correlation under autodiff: the all-pairs
+    # score matrix and the sampling intermediates are large (hundreds of MB
+    # per view at training sizes) but cheap to recompute — without remat a
+    # batch-4 train step at the paper's crop size exceeds a v5e's HBM.
+    @jax.checkpoint
     def per_view(feat_src, K_src, T):
         return planesweep_correlation_single(
             feat_key, feat_src, intrinsics_key, K_src, T, invdepths, impl=impl
