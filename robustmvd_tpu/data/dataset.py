@@ -249,6 +249,18 @@ class Dataset(abc.ABC):
     def __str__(self):
         return self.name
 
+    @classmethod
+    def init_as_loader(cls, batch_size=1, shuffle=False, num_workers=0,
+                       collate_fn=None, drop_last=False, indices=None, **kwargs):
+        """Construct the dataset and wrap it in a loader in one call
+
+        (reference: rmvd/data/dataset.py:193-216)."""
+        dataset = cls(**kwargs)
+        return dataset.get_loader(
+            batch_size=batch_size, shuffle=shuffle, num_workers=num_workers,
+            collate_fn=collate_fn, drop_last=drop_last, indices=indices,
+        )
+
     def get_loader(
         self,
         batch_size=1,

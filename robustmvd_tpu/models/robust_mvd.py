@@ -161,8 +161,8 @@ class RobustMVDModule(nn.Module):
 
 
 class RobustMVD(ModelBase):
-    def __init__(self, weights=None, train=False, corr_impl="matmul", dtype=jnp.float32, seed=0):
-        module = RobustMVDModule(corr_impl=corr_impl)
+    def __init__(self, weights=None, train=False, corr_impl="matmul", remat=True, dtype=jnp.float32, seed=0):
+        module = RobustMVDModule(corr_impl=corr_impl, remat=remat)
         if weights is not None:
             variables = load_robust_mvd_weights(weights, module)
         else:

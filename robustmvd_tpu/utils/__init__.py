@@ -19,7 +19,7 @@ from .geometry import (
 )
 from .image import resize_bilinear, resize_nearest
 from .paths import get_path, load_paths
-from .utils_misc import get_full_class_name, prepend_level, set_random_seed
+from .utils_misc import NanError, check_finite, get_full_class_name, prepend_level, set_random_seed
 from . import logging
 
 __all__ = [
@@ -45,5 +45,7 @@ __all__ = [
     "get_full_class_name",
     "prepend_level",
     "set_random_seed",
+    "NanError",
+    "check_finite",
     "logging",
 ]

@@ -30,3 +30,20 @@ def prepend_level(df, name, value, axis=1):
     import pandas as pd
 
     return pd.concat({value: df}, names=[name], axis=axis)
+
+
+class NanError(Exception):
+    """Numerical sanitizer error (reference parity: blocks/utils.py:91)."""
+
+
+def check_finite(name, *arrays):
+    """Host-side NaN/Inf guard used in debug paths (reference parity:
+
+    the reference raises NanError on non-finite warps,
+    blocks/utils.py:147-171). Raises NanError naming the offending array."""
+    import numpy as np
+
+    for i, arr in enumerate(arrays):
+        a = np.asarray(arr)
+        if not np.isfinite(a).all():
+            raise NanError(f"{name}[{i}] contains non-finite values")
