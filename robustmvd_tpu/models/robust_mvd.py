@@ -83,7 +83,16 @@ class RobustMVDModule(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, images, poses, intrinsics, keyview_idx):
+    def __call__(self, images, poses, intrinsics, keyview_idx, num_views=None):
+        """``num_views`` (B,) optionally marks how many of the V view slots
+
+        are real: the input adapter pads the view list to a bucket size so
+        the number of compiled programs stays bounded across the eval
+        protocol's 1..V source-view sweep (quasi-optimal ordering re-runs
+        the model per view count, SURVEY hard part #3). Padded views are
+        neutralized by zeroing their correlation masks — LearnedFusion then
+        assigns them zero weight, reproducing the unpadded result exactly.
+        """
         from ..parallel.context import constrain
 
         B, V, H, W, C = images.shape
@@ -134,6 +143,14 @@ class RobustMVDModule(nn.Module):
         corrs = constrain(corrs, "data", "view", None, None, "hyp")
         masks = constrain(masks, "data", "view", None, None, "hyp")
 
+        if num_views is not None:
+            # padded view slots sit at the end of the source list (the
+            # argsort split is stable); zero their masks
+            slot = jnp.arange(V - 1)[None, :]  # (1, V-1)
+            valid = slot < (num_views.reshape(-1, 1) - 1)  # (B, V-1)
+            masks = masks * valid[:, :, None, None, None].astype(masks.dtype)
+            corrs = corrs * valid[:, :, None, None, None].astype(corrs.dtype)
+
         fused_corr, _ = LearnedFusion(name="fusion_block")(corrs, masks)
         fused_corr = constrain(fused_corr, "data", None, None, None)
 
@@ -176,8 +193,10 @@ class RobustMVD(ModelBase):
             variables = module.init(rng, **dummy)
         super().__init__(module, variables, train=train)
 
-    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, **_):
-        return self.module.apply(variables, images, poses, intrinsics, keyview_idx)
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, num_views=None, **_):
+        return self.module.apply(
+            variables, images, poses, intrinsics, keyview_idx, num_views
+        )
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
         """Resize to a multiple of 64, normalize to /255 - 0.4, relative K
@@ -200,12 +219,27 @@ class RobustMVD(ModelBase):
         images = [img / 255.0 - 0.4 for img in images]
         intrinsics = [to_relative_intrinsics(K, wd, ht) for K in intrinsics]
 
+        # pad the view list to a bucket size (1 + next power of two source
+        # views) so the eval protocol's 1..V view sweep reuses a bounded set
+        # of compiled programs; padded slots are masked out in the forward.
+        num_views = len(images)
+        num_sources = num_views - 1
+        bucket_sources = 1 if num_sources <= 1 else 2 ** int(np.ceil(np.log2(num_sources)))
+        while num_views < 1 + bucket_sources:
+            images.append(images[-1])
+            poses = list(poses) + [poses[-1]]
+            intrinsics = list(intrinsics) + [intrinsics[-1]]
+            num_views += 1
+
         images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+        B = images_nhwc.shape[0]
         sample = {
             "images": jnp.asarray(images_nhwc),
             "poses": jnp.asarray(np.stack(poses, axis=1).astype(np.float32)),
             "intrinsics": jnp.asarray(np.stack(intrinsics, axis=1).astype(np.float32)),
             "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), dtype=jnp.int32),
+            # actual (unpadded) view count: key + real source views
+            "num_views": jnp.full((B,), 1 + num_sources, dtype=jnp.int32),
         }
         return sample
 
