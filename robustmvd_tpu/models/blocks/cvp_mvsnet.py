@@ -226,15 +226,18 @@ def cal_depth_hypos(
     return ref_depths[:, None] + levels[None, :, None, None] * interval[:, None, None, None]
 
 
-def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, depth_hypos):
+def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, depth_hypos, src_valid=None):
     """Variance cost volume across views with per-pixel hypotheses
 
     (reference: :375-456). ref_feature: (B, H, W, C); src_features: list of
-    (B, H, W, C); depth_hypos: (B, D, H, W). Returns (B, D, H, W, C)."""
+    (B, H, W, C); depth_hypos: (B, D, H, W); src_valid: optional (B, nsrc)
+    validity for padded view slots. Returns (B, D, H, W, C)."""
     B, H, W, C = ref_feature.shape
     D = depth_hypos.shape[1]
     nsrc = len(src_features)
     dtype = ref_feature.dtype
+    if src_valid is None:
+        src_valid = jnp.ones((B, nsrc), dtype)
 
     hypos_flat = depth_hypos.reshape(B, D, H * W)
 
@@ -257,7 +260,9 @@ def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, 
         rot = proj[:, :3, :3]
         trans = proj[:, :3, 3]
         warped = rt_planesweep_warp(src_features[src_idx], rot, trans, hypos_flat)
+        warped = warped * src_valid[:, src_idx].reshape(B, 1, 1, 1, 1)
         volume_sum = volume_sum + warped
         volume_sq_sum = volume_sq_sum + warped**2
 
-    return volume_sq_sum / (nsrc + 1) - (volume_sum / (nsrc + 1)) ** 2
+    count = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
+    return volume_sq_sum / count - (volume_sum / count) ** 2

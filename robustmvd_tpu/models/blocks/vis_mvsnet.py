@@ -262,6 +262,7 @@ class SingleStage(nn.Module):
         depth_start_override=None,
         depth_interval_override=None,
         s_scale=1,
+        src_valid=None,
         train=False,
     ):
         """ref_feat: (B, h, w, C); srcs_feat: list of (B, h, w, C);
@@ -297,7 +298,13 @@ class SingleStage(nn.Module):
         min_weight = None
         maxpool_init = True
 
-        for src_feat, src_cam in zip(srcs_feat, srcs_cam):
+        if src_valid is None:
+            src_valid = [jnp.ones((B,), dtype)] * len(srcs_feat)
+
+        for view_idx, (src_feat, src_cam) in enumerate(zip(srcs_feat, srcs_cam)):
+            # per-view validity scalar for padded view slots: invalid views
+            # contribute zero fusion weight (soft/hard/average modes)
+            valid = src_valid[view_idx].reshape(B, 1, 1, 1, 1)
             ref_cam_s = scale_camera(ref_cam, 1 / s_scale)
             src_cam_s = scale_camera(src_cam, 1 / s_scale)
             Hs = get_homographies(
@@ -330,15 +337,15 @@ class SingleStage(nn.Module):
             # heads[0] is (B, 1, h, w); broadcastable weight for the
             # channel-last volume (B, D, h, w, 8) is (B, 1, h, w, 1).
             if mode == "soft":
-                weight = jnp.exp(-heads[0])[..., None]
+                weight = jnp.exp(-heads[0])[..., None] * valid
                 weight_sum = weight_sum + weight
                 fused_interm = fused_interm + interm * weight
             elif mode == "hard":
-                weight = (heads[0] < 0).astype(dtype)[..., None] + 1e-4
+                weight = ((heads[0] < 0).astype(dtype)[..., None] + 1e-4) * valid
                 weight_sum = weight_sum + weight
                 fused_interm = fused_interm + interm * weight
             elif mode == "average":
-                fused_interm = fused_interm + interm
+                fused_interm = fused_interm + interm * valid
             elif mode == "uwta":
                 weight = heads[0][..., None]
                 if min_weight is None:
@@ -358,7 +365,8 @@ class SingleStage(nn.Module):
         if mode in ("soft", "hard"):
             fused_interm = fused_interm / weight_sum
         elif mode == "average":
-            fused_interm = fused_interm / len(srcs_feat)
+            n_valid = sum(v.reshape(B, 1, 1, 1, 1) for v in src_valid)
+            fused_interm = fused_interm / n_valid
 
         score_volume = reg_fuse(fused_interm, train=train)[..., 0]  # (B, D, h, w)
         prob_volume, est_depth_class, prob_map = soft_argmin(

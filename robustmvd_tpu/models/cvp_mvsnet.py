@@ -43,11 +43,18 @@ class CVPMVSNetModule(nn.Module):
     mode: str = "test"
 
     @nn.compact
-    def __call__(self, images, poses, intrinsics, keyview_idx, min_depth, max_depth):
+    def __call__(self, images, poses, intrinsics, keyview_idx, min_depth, max_depth, num_views=None):
         """images: (B, V, H, W, 3) in [0, 1]; intrinsics ABSOLUTE (B, V, 3, 3)."""
         B, V, H, W, _ = images.shape
         nsrc = V - 1
         dtype = images.dtype
+
+        if num_views is not None:
+            src_valid = (
+                jnp.arange(V - 1)[None, :] < (num_views.reshape(-1, 1) - 1)
+            ).astype(dtype)  # (B, V-1)
+        else:
+            src_valid = jnp.ones((B, V - 1), dtype)
 
         image_key, images_src = split_key_sources(images, keyview_idx)
         K_key, K_srcs = split_key_sources(intrinsics, keyview_idx)
@@ -91,9 +98,11 @@ class CVPMVSNetModule(nn.Module):
             warped = rt_planesweep_warp(
                 src_fps[i][-1], proj[:, :3, :3], proj[:, :3, 3], depth_hypos
             )
+            warped = warped * src_valid[:, i].reshape(B, 1, 1, 1, 1)
             volume_sum = volume_sum + warped
             volume_sq_sum = volume_sq_sum + warped**2
-        cost_volume = volume_sq_sum / (nsrc + 1) - (volume_sum / (nsrc + 1)) ** 2
+        count0 = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
+        cost_volume = volume_sq_sum / count0 - (volume_sum / count0) ** 2
 
         logits = cost_reg(cost_volume, train=False)  # (B, D, h, w)
         prob_volume = jax.nn.softmax(logits, axis=1)
@@ -119,6 +128,7 @@ class CVPMVSNetModule(nn.Module):
                 pose_key,
                 poses_src,
                 hypos,
+                src_valid=src_valid,
             )
             logits = cost_reg(cost_volume, train=False)
             prob_volume = jax.nn.softmax(logits, axis=1)
@@ -164,13 +174,13 @@ class CVPMVSNet(ModelBase):
             variables = convert_torch_checkpoint(weights)
         super().__init__(module, variables, train=train)
 
-    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, min_depth=None, max_depth=None, **_):
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, min_depth=None, max_depth=None, num_views=None, **_):
         if min_depth is None:
             B = images.shape[0]
             min_depth = jnp.full((B,), 0.2)
             max_depth = jnp.full((B,), 100.0)
         return self.module.apply(
-            variables, images, poses, intrinsics, keyview_idx, min_depth, max_depth
+            variables, images, poses, intrinsics, keyview_idx, min_depth, max_depth, num_views
         )
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
@@ -193,6 +203,16 @@ class CVPMVSNet(ModelBase):
             depth_range = (np.array([0.2]), np.array([100.0]))
         lo, hi = depth_range
 
+        # bucket the view list (see robust_mvd.input_adapter)
+        num_total = len(images)
+        num_sources = num_total - 1
+        bucket = 1 if num_sources <= 1 else 2 ** int(np.ceil(np.log2(num_sources)))
+        images = list(images); poses = list(poses); intrinsics = list(intrinsics)
+        while len(images) < 1 + bucket:
+            images.append(images[-1])
+            poses.append(poses[-1])
+            intrinsics.append(intrinsics[-1])
+
         images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
         return {
             "images": jnp.asarray(images_nhwc),
@@ -201,6 +221,7 @@ class CVPMVSNet(ModelBase):
             "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), jnp.int32),
             "min_depth": jnp.asarray(np.asarray(lo).reshape(-1), jnp.float32),
             "max_depth": jnp.asarray(np.asarray(hi).reshape(-1), jnp.float32),
+            "num_views": jnp.full((images_nhwc.shape[0],), num_total, dtype=jnp.int32),
         }
 
     def output_adapter(self, model_output):

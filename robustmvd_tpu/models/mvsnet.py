@@ -39,11 +39,13 @@ class MVSNetModule(nn.Module):
     train_bn: bool = False
 
     @nn.compact
-    def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None):
+    def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None):
         """images: (B, V, H, W, 3) normalized; intrinsics: (B, V, 3, 3)
 
         ABSOLUTE pixel intrinsics; poses: (B, V, 4, 4); depth_range:
-        (min (B,), max (B,)) or None."""
+        (min (B,), max (B,)) or None. ``num_views`` (B,) marks real view
+        slots when the view list is padded to a bucket (masked variance
+        aggregation keeps results identical to the unpadded forward)."""
         B, V, H, W, _ = images.shape
         D = self.num_sampling_steps
         dtype = images.dtype
@@ -94,23 +96,37 @@ class MVSNetModule(nn.Module):
         ref_feats, src_feats = split_key_sources(feats, keyview_idx)
 
         # variance cost volume: running sum / sum-of-squares over views
-        # (reference: mvsnet.py:124-137) — associative, psum-able.
+        # (reference: mvsnet.py:124-137) — associative, psum-able. Padded
+        # view slots contribute zero and the divisor uses the real count.
+        if num_views is not None:
+            src_valid = (
+                jnp.arange(V - 1)[None, :] < (num_views.reshape(-1, 1) - 1)
+            ).astype(dtype)  # (B, V-1)
+        else:
+            src_valid = jnp.ones((B, V - 1), dtype)
+
         ref_volume = jnp.broadcast_to(ref_feats[:, None], (B, D, h, w, F))
         volume_sum = ref_volume
         volume_sq_sum = ref_volume**2
 
         def add_view(carry, view):
             vsum, vsq = carry
-            src_feat, src_proj = view
+            src_feat, src_proj, valid = view
             warped = homo_warp(src_feat, src_proj, proj_key, depth_samples)
+            warped = warped * valid[:, None, None, None, None]
             return (vsum + warped, vsq + warped**2), None
 
         (volume_sum, volume_sq_sum), _ = jax.lax.scan(
             add_view,
             (volume_sum, volume_sq_sum),
-            (jnp.moveaxis(src_feats, 1, 0), jnp.moveaxis(proj_src, 1, 0)),
+            (
+                jnp.moveaxis(src_feats, 1, 0),
+                jnp.moveaxis(proj_src, 1, 0),
+                jnp.moveaxis(src_valid, 1, 0),
+            ),
         )
-        volume_variance = volume_sq_sum / V - (volume_sum / V) ** 2
+        count = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
+        volume_variance = volume_sq_sum / count - (volume_sum / count) ** 2
 
         # 3D regularization + probability volume
         cost_reg = CostRegNet(name="cost_regularization")(
@@ -164,9 +180,9 @@ class MVSNet(ModelBase):
             variables = convert_torch_checkpoint(weights)
         super().__init__(module, variables, train=train)
 
-    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, **_):
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None, **_):
         return self.module.apply(
-            variables, images, poses, intrinsics, keyview_idx, depth_range
+            variables, images, poses, intrinsics, keyview_idx, depth_range, num_views
         )
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
@@ -191,12 +207,24 @@ class MVSNet(ModelBase):
             for img in images
         ]
 
+        # bucket the view list (see robust_mvd.input_adapter)
+        num_total = len(images)
+        num_sources = num_total - 1
+        bucket = 1 if num_sources <= 1 else 2 ** int(np.ceil(np.log2(num_sources)))
+        images, poses, intrinsics = list(images), list(poses), list(intrinsics)
+        while len(images) < 1 + bucket:
+            images.append(images[-1])
+            poses.append(poses[-1])
+            intrinsics.append(intrinsics[-1])
+
         images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+        B = images_nhwc.shape[0]
         sample = {
             "images": jnp.asarray(images_nhwc),
             "poses": jnp.asarray(np.stack(poses, axis=1).astype(np.float32)),
             "intrinsics": jnp.asarray(np.stack(intrinsics, axis=1).astype(np.float32)),
             "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), jnp.int32),
+            "num_views": jnp.full((B,), num_total, dtype=jnp.int32),
         }
         if depth_range is not None:
             lo, hi = depth_range

@@ -38,7 +38,7 @@ class VisMvsnetModule(nn.Module):
     train_bn: bool = False
 
     @nn.compact
-    def __call__(self, images, poses, intrinsics, keyview_idx, depth_range):
+    def __call__(self, images, poses, intrinsics, keyview_idx, depth_range, num_views=None):
         """images: (B, V, H, W, 3) normalized BGR; intrinsics ABSOLUTE
 
         (B, V, 3, 3); depth_range: (min (B,), max (B,))."""
@@ -83,6 +83,14 @@ class VisMvsnetModule(nn.Module):
         ref3, srcs3 = unpack(feat3)
         srcs_cam = [cams_src[:, i] for i in range(V - 1)]
 
+        if num_views is not None:
+            src_valid = [
+                (jnp.asarray(i) < (num_views.reshape(-1) - 1)).astype(dtype)
+                for i in range(V - 1)
+            ]
+        else:
+            src_valid = None
+
         est_depth_1, prob_map_1, pair_results_1 = SingleStage(name="stage1")(
             ref1, cam_key, srcs1, srcs_cam,
             depth_num=depth_nums[0],
@@ -90,6 +98,7 @@ class VisMvsnetModule(nn.Module):
             depth_start_override=None,
             depth_interval_override=depth_interval * interval_scales[0],
             s_scale=8,
+            src_valid=src_valid,
             train=self.train_bn,
         )
         prob_map_1_up = _resize_map(prob_map_1, (prob_map_1.shape[2] * 4, prob_map_1.shape[3] * 4))
@@ -106,6 +115,7 @@ class VisMvsnetModule(nn.Module):
             depth_start_override=depth_start_2,
             depth_interval_override=depth_interval * interval_scales[1],
             s_scale=4,
+            src_valid=src_valid,
             train=self.train_bn,
         )
         prob_map_2_up = _resize_map(prob_map_2, (prob_map_2.shape[2] * 2, prob_map_2.shape[3] * 2))
@@ -122,6 +132,7 @@ class VisMvsnetModule(nn.Module):
             depth_start_override=depth_start_3,
             depth_interval_override=depth_interval * interval_scales[2],
             s_scale=2,
+            src_valid=src_valid,
             train=self.train_bn,
         )
 
@@ -164,12 +175,12 @@ class VisMvsnet(ModelBase):
             variables = convert_torch_checkpoint(weights)
         super().__init__(module, variables, train=train)
 
-    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, **_):
+    def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None, **_):
         if depth_range is None:
             B = images.shape[0]
             depth_range = (jnp.full((B,), 0.2), jnp.full((B,), 100.0))
         return self.module.apply(
-            variables, images, poses, intrinsics, keyview_idx, depth_range
+            variables, images, poses, intrinsics, keyview_idx, depth_range, num_views
         )
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
@@ -198,6 +209,16 @@ class VisMvsnet(ModelBase):
         if depth_range is None:
             depth_range = (np.array([0.2]), np.array([100.0]))
 
+        # bucket the view list (see robust_mvd.input_adapter)
+        num_total = len(out_images)
+        num_sources = num_total - 1
+        bucket = 1 if num_sources <= 1 else 2 ** int(np.ceil(np.log2(num_sources)))
+        poses = list(poses); intrinsics = list(intrinsics)
+        while len(out_images) < 1 + bucket:
+            out_images.append(out_images[-1])
+            poses.append(poses[-1])
+            intrinsics.append(intrinsics[-1])
+
         images_nhwc = np.stack(out_images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
         lo, hi = depth_range
         return {
@@ -209,6 +230,7 @@ class VisMvsnet(ModelBase):
                 jnp.asarray(np.asarray(lo).reshape(-1), jnp.float32),
                 jnp.asarray(np.asarray(hi).reshape(-1), jnp.float32),
             ),
+            "num_views": jnp.full((images_nhwc.shape[0],), num_total, dtype=jnp.int32),
         }
 
     def output_adapter(self, model_output):
