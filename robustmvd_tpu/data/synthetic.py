@@ -57,7 +57,7 @@ class SyntheticMVD(Dataset):
     dataset_type = "mvd"
 
     def __init__(
-        self, num_samples=16, num_views=3, height=64, width=96, root=".", **kwargs
+        self, num_samples=16, num_views=3, height=64, width=128, root=".", **kwargs
     ):
         self._num_samples = num_samples
         self._num_views = num_views
