@@ -24,6 +24,38 @@ import numpy as np
 from ..utils import add_batch_dim, remove_batch_dim, to_numpy
 
 
+class LazyNumpyDict(dict):
+    """Dict whose values run a converter (device->host fetch + layout
+
+    transpose) on first access. Model output adapters return aux through
+    this so the evaluation engine — which discards aux per run (reference:
+    multi_view_depth_evaluation.py:561) — never pays the device->host
+    transfer for the per-scale auxiliary maps.
+    """
+
+    def __init__(self, data, convert):
+        super().__init__(data)
+        self._convert = convert
+        self._done = set()
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        if key not in self._done:
+            if isinstance(val, list):
+                val = [self._convert(v) for v in val]
+            else:
+                val = self._convert(val)
+            super().__setitem__(key, val)
+            self._done.add(key)
+        return val
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):
+        return [self[k] for k in self.keys()]
+
+
 class ModelBase:
     """A flax module + variables with the reference model protocol.
 

@@ -242,9 +242,10 @@ class MVSNet(ModelBase):
                 return np.asarray(x).transpose(0, 3, 1, 2)
             return np.asarray(x) if hasattr(x, "ndim") else x
 
+        from .helpers import LazyNumpyDict
+
         pred = {k: to_chw(v) for k, v in pred.items()}
-        aux = {k: to_chw(v) if not isinstance(v, list) else [to_chw(i) for i in v] for k, v in aux.items()}
-        return pred, aux
+        return pred, LazyNumpyDict(aux, to_chw)
 
 
 @register_model(trainable=False)

@@ -252,14 +252,10 @@ class RobustMVD(ModelBase):
                 return np.asarray(x).transpose(0, 3, 1, 2)
             return np.asarray(x) if hasattr(x, "ndim") else x
 
+        from .helpers import LazyNumpyDict
+
         pred = {k: to_chw(v) for k, v in pred.items()}
-        aux_np = {}
-        for k, v in aux.items():
-            if isinstance(v, list):
-                aux_np[k] = [to_chw(x) for x in v]
-            else:
-                aux_np[k] = to_chw(v)
-        return pred, aux_np
+        return pred, LazyNumpyDict(aux, to_chw)
 
 
 def load_robust_mvd_weights(weights_path, module):

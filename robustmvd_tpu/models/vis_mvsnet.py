@@ -241,11 +241,15 @@ class VisMvsnet(ModelBase):
                 return np.asarray(x).transpose(0, 3, 1, 2)
             return np.asarray(x) if hasattr(x, "shape") else x
 
+        from .helpers import LazyNumpyDict
+
+        def convert_nested(v):
+            return jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, v
+            )
+
         pred = {k: to_chw(v) for k, v in pred.items()}
-        aux_np = jax.tree_util.tree_map(
-            lambda v: np.asarray(v) if hasattr(v, "shape") else v, aux
-        )
-        return pred, aux_np
+        return pred, LazyNumpyDict(aux, convert_nested)
 
 
 @register_model
