@@ -38,7 +38,7 @@ from .epipolar import EpipolarCoeffs, make_epipolar_coeffs, planesweep_points, s
 from .sampling import bilinear_sample
 
 
-def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_pallas=False):
+def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_pallas=False, sampling_dtype="float32"):
     """All-pairs matmul + scalar bilinear gather along rows.
 
     feat_key: (B, H, W, C); feat_src: (B, Hs, Ws, C);
@@ -121,6 +121,12 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
     y0_s, wy_s = to_slabs(y0i), to_slabs(wy)
     x0_s, wx_s = to_slabs(x0i), to_slabs(wx)
 
+    # bf16 interpolation storage halves the HBM traffic of the two-hot
+    # weights and partial products (the sampling stage is bandwidth-bound);
+    # the MXU still accumulates in fp32. Score error ~1e-3 relative.
+    samp_dtype = jnp.bfloat16 if sampling_dtype == "bfloat16" else jnp.float32
+    corr_in = corr_img.astype(samp_dtype)
+
     # remat the slab body: without it, autodiff stacks the (B, P, slab, Ws)
     # partial products across all scan steps (x views under vmap) — gigabytes
     # of residuals for an intermediate that is trivial to recompute.
@@ -131,20 +137,22 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
         ry = (
             jnp.where(y_iota == y0b[..., None], (1.0 - wyb)[..., None], 0.0)
             + jnp.where(y_iota == (y0b + 1)[..., None], wyb[..., None], 0.0)
-        ).astype(dtype32)
+        ).astype(samp_dtype)
         # y-contraction on the MXU: (B, P, slab, Hs) @ (B, P, Hs, Ws)
         m = jax.lax.dot_general(
             ry,
-            corr_img,
+            corr_in,
             dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=samp_dtype,
         )  # (B, P, slab, Ws)
-        # x-contraction fused into the reduce
+        # x-contraction fused into the reduce (fp32 accumulation)
         rx = (
             jnp.where(x_iota == x0b[..., None], (1.0 - wxb)[..., None], 0.0)
             + jnp.where(x_iota == (x0b + 1)[..., None], wxb[..., None], 0.0)
-        ).astype(dtype32)
-        return None, jnp.sum(m * rx, axis=-1)  # (B, P, slab)
+        ).astype(samp_dtype)
+        return None, jnp.sum(
+            m.astype(dtype32) * rx.astype(dtype32), axis=-1
+        )  # (B, P, slab)
 
     _, out = jax.lax.scan(slab_fn, None, (y0_s, wy_s, x0_s, wx_s))
     out = jnp.moveaxis(out, 0, 2).reshape(B, P, S)
@@ -297,6 +305,8 @@ def planesweep_correlation_single(
 
     if impl == "matmul":
         return _corr_matmul(feat_key, feat_src, us, vs, vis)
+    elif impl == "matmul_bf16":
+        return _corr_matmul(feat_key, feat_src, us, vs, vis, sampling_dtype="bfloat16")
     elif impl == "pallas":
         return _corr_matmul(feat_key, feat_src, us, vs, vis, use_pallas=True)
     elif impl == "gather":
