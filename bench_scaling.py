@@ -33,7 +33,10 @@ def main(args):
     if args.platform:
         devices = jax.devices(args.platform)
 
-    model = create_model("robust_mvd", pretrained=False, weights=None)
+    model = create_model(
+        "robust_mvd", pretrained=False, weights=None, remat=False,
+        num_sampling_points=args.num_sampling_points,
+    )
     V, H, W = 3, args.height, args.width
     rng = np.random.RandomState(0)
 
@@ -100,4 +103,6 @@ if __name__ == "__main__":
     parser.add_argument("--per_device_batch", type=int, default=1)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--platform", help="cpu | tpu (default: default backend)")
+    parser.add_argument("--num_sampling_points", type=int, default=256,
+                        help="Plane-sweep hypotheses (use a small value for CPU-mesh validation).")
     main(parser.parse_args())

@@ -178,8 +178,8 @@ class RobustMVDModule(nn.Module):
 
 
 class RobustMVD(ModelBase):
-    def __init__(self, weights=None, train=False, corr_impl="matmul", remat=True, dtype=jnp.float32, seed=0):
-        module = RobustMVDModule(corr_impl=corr_impl, remat=remat)
+    def __init__(self, weights=None, train=False, corr_impl="matmul", remat=True, dtype=jnp.float32, seed=0, **module_kwargs):
+        module = RobustMVDModule(corr_impl=corr_impl, remat=remat, **module_kwargs)
         if weights is not None:
             variables = load_robust_mvd_weights(weights, module)
         else:

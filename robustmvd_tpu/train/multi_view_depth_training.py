@@ -333,7 +333,7 @@ class MultiViewDepthTraining:
             img0 = np.asarray(sample_inputs["images"][0, 0])  # (H, W, 3)
             writer.put_tensor(
                 "00_inputs/key_image",
-                np.clip((img0 - img0.min()) / (img0.ptp() + 1e-9) * 255, 0, 255).astype(
+                np.clip((img0 - img0.min()) / (np.ptp(img0) + 1e-9) * 255, 0, 255).astype(
                     np.uint8
                 ),
                 step=step,
