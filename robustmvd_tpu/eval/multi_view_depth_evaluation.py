@@ -542,7 +542,40 @@ class MultiViewDepthEvaluation:
                 curves.to_pickle(osp.join(self.sample_results_dir, "sparsification_curves.pickle"))
                 curves.to_csv(osp.join(self.sample_results_dir, "sparsification_curves.csv"))
 
-            with open(osp.join(self.qualitatives_dir, "updates.pickle"), "wb") as f:
-                pickle.dump(self.dataset_updates, f)
+            self._output_dataset_cfg()
 
             self.results.to_pickle(self.results_file)
+
+    def _output_dataset_cfg(self):
+        """Write updates + layout + a re-openable dataset.cfg so the viewer
+
+        can display predictions over the dataset
+        (reference: multi_view_depth_evaluation.py:712-730)."""
+        from ..utils import get_full_class_name
+
+        model_name = getattr(self.model, "name", None)
+        update_name = "_".join(
+            s for s in [model_name, self.eval_name] if s is not None
+        ) or "updates"
+        updates_path = osp.join(self.qualitatives_dir, f"{update_name}.pickle")
+        with open(updates_path, "wb") as f:
+            pickle.dump(self.dataset_updates, f)
+
+        layout_path = None
+        try:
+            from ..data.layouts import MVDUnstructuredDefaultLayout
+
+            layout = MVDUnstructuredDefaultLayout("eval_mvd", num_views=1, max_views=1)
+            layout_path = osp.join(self.qualitatives_dir, "layout.pickle")
+            layout.write(layout_path)
+        except Exception:
+            layout_path = None
+
+        if hasattr(self.dataset, "write_config"):
+            self.dataset.write_config(
+                path=osp.join(self.qualitatives_dir, "dataset.cfg"),
+                dataset_cls_name=get_full_class_name(self.dataset),
+                updates=[updates_path],
+                update_strict=True,
+                layouts=[layout_path] if layout_path else None,
+            )

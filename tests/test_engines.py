@@ -117,3 +117,14 @@ def test_evaluation_engine(tmp_path):
     assert osp.exists(osp.join(out_dir, ".results_df.pickle"))
     again = evaluation(dataset=dataset, model=model, samples=2)
     assert ("best", "absrel") in again.columns
+
+    # dataset.cfg round trip: re-open the eval dataset with its prediction
+    # updates applied (reference: dataset.py:256-304 + eval :712-730)
+    cfg_path = osp.join(out_dir, "qualitative", "dataset.cfg")
+    assert osp.exists(cfg_path)
+    from robustmvd_tpu.data import create_dataset as cds
+
+    ds2 = cds(cfg_path, verbose=False)
+    assert len(ds2) >= 1  # restricted to samples with updates
+    updated = ds2[0]
+    assert "pred_depth" in updated  # the eval's qualitative overlay

@@ -34,3 +34,20 @@ def test_load_reference_sample_list(name, expected_count, cls_name):
     # every sample carries the universal keys
     for key in ("images", "poses", "intrinsics"):
         assert key in samples[0].data
+
+
+def test_bundled_native_sample_lists():
+    """The package ships natively re-serialized golden manifests; dataset
+
+    classes construct from them without data on disk."""
+    from robustmvd_tpu.data import create_dataset
+
+    for name, count in [
+        ("kitti.robustmvd.mvd", 93),
+        ("eth3d.robustmvd.mvd", 104),
+        ("dtu.robustmvd.mvd", 110),
+        ("scannet.robustmvd.mvd", 200),
+        ("tanks_and_temples.robustmvd.mvd", 69),
+    ]:
+        ds = create_dataset(name, verbose=False)
+        assert len(ds) == count, name
