@@ -17,6 +17,7 @@ from robustmvd_tpu.data import list_datasets
 from robustmvd_tpu.eval import list_evaluations
 from robustmvd_tpu.models import list_models
 from robustmvd_tpu.utils import logging, writer
+from robustmvd_tpu.utils.platform import add_platform_arg, force_platform
 
 
 def set_random_seed(seed):
@@ -28,6 +29,7 @@ def set_random_seed(seed):
 
 def evaluate(args):
     set_random_seed(args.seed)
+    force_platform(args.platform)
 
     if args.model is None:
         logging.info(f"No model specified. Available models: {', '.join(list_models())}")
@@ -124,6 +126,7 @@ if __name__ == "__main__":
     parser.add_argument("--finished_iterations", type=int)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num_gpus", type=int, default=1, help="CLI parity; mesh-based.")
+    add_platform_arg(parser)
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--exp_id")

@@ -16,6 +16,7 @@ import numpy as np
 from robustmvd_tpu import create_model
 from robustmvd_tpu.models import list_models
 from robustmvd_tpu.utils import invert_transform, resize_bilinear
+from robustmvd_tpu.utils.platform import add_platform_arg, force_platform
 from robustmvd_tpu.utils.vis import vis
 
 
@@ -76,6 +77,7 @@ def write_pred(pred, output_path, h_orig, w_orig):
 
 
 def run(args):
+    force_platform(args.platform)
     if args.model is None:
         print(f"No model specified. Available models are: {', '.join(list_models())}")
         return
@@ -99,4 +101,5 @@ if __name__ == "__main__":
     parser.add_argument("--model", help=f"Model. Available: {', '.join(list_models())}")
     parser.add_argument("--weights", help="Path to model weights (.pt or .msgpack). Optional.")
     parser.add_argument("--num_gpus", type=int, default=1, help="Accepted for CLI parity; device use is mesh-based.")
+    add_platform_arg(parser)
     run(parser.parse_args())

@@ -205,6 +205,11 @@ class RobustMVD(ModelBase):
         images arrive CHW-batched (list of (B, 3, H, W)); leaves as stacked
         NHWC (B, V, H, W, 3).
         """
+        if poses is None or intrinsics is None:
+            raise ValueError(
+                "robust_mvd requires poses and intrinsics inputs "
+                "(pass --inputs poses intrinsics to the eval CLI)."
+            )
         orig_ht, orig_wd = images[0].shape[-2:]
         ht = int(math.ceil(orig_ht / 64.0) * 64.0)
         wd = int(math.ceil(orig_wd / 64.0) * 64.0)

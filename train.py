@@ -28,6 +28,7 @@ from robustmvd_tpu.models import list_models
 from robustmvd_tpu.optim import list_optimizers, list_schedulers
 from robustmvd_tpu.train import list_trainings
 from robustmvd_tpu.utils import logging, writer
+from robustmvd_tpu.utils.platform import add_platform_arg, force_platform
 
 
 def set_random_seed(seed):
@@ -39,6 +40,7 @@ def set_random_seed(seed):
 
 def train(args):
     set_random_seed(args.seed)
+    force_platform(args.platform)
 
     if args.model is None:
         logging.info(
@@ -165,6 +167,7 @@ if __name__ == "__main__":
     parser.add_argument("--log_full_batch", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num_gpus", type=int, default=1, help="CLI parity; mesh-based.")
+    add_platform_arg(parser)
     parser.add_argument("--data_parallel", action="store_true", help="Shard batch over all devices.")
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--wandb", action="store_true")
