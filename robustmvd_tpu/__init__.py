@@ -40,3 +40,13 @@ from .optim import (  # noqa: F401
 )
 from .eval import create_evaluation, list_evaluations  # noqa: F401
 from .train import create_training, list_trainings  # noqa: F401
+
+
+def run_viewer(*args, **kwargs):
+    """Start the dataset viewer GUI (reference: rmvd/__init__.py:24).
+
+    Imported lazily so headless installs do not pay the matplotlib import.
+    """
+    from .viewer import run_viewer as _run_viewer
+
+    return _run_viewer(*args, **kwargs)

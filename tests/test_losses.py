@@ -62,3 +62,34 @@ def test_regularization_filter():
     reg = float(regularization_l2(params, weight_decay=1.0))
     # only encoder kernel counts: 4 * 1 / 2 = 2
     assert reg == pytest.approx(2.0)
+
+
+def test_sl1_loss_torch_parity(rng):
+    """SL1Loss matches torch F.smooth_l1_loss with bilinear GT resize
+
+    (reference: rmvd/loss/mvsnet_sl1.py:17-28)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    B, H, W = 2, 8, 12
+    pred_np = rng.rand(B, H, W, 1).astype(np.float32) * 5
+    gt_np = rng.rand(B, 2 * H, 2 * W, 1).astype(np.float32) * 5
+    gt_np[0, :4] = 0.0  # invalid region
+
+    loss_fn = create_loss("SL1Loss", model=None)
+    total, _, _ = loss_fn(
+        sample_inputs={},
+        sample_gt={"depth": jnp.asarray(gt_np)},
+        pred={"depth": jnp.asarray(pred_np)},
+        aux={},
+        iteration=0,
+    )
+
+    inputs = torch.from_numpy(pred_np.transpose(0, 3, 1, 2))
+    targets = torch.from_numpy(gt_np.transpose(0, 3, 1, 2))
+    masks = targets > 0
+    targets_rs = F.interpolate(targets, size=(H, W), mode="bilinear", align_corners=False)
+    masks_rs = F.interpolate(masks.float(), size=(H, W), mode="nearest") > 0.5
+    expected = F.smooth_l1_loss(inputs[masks_rs], targets_rs[masks_rs]).item()
+
+    assert np.isclose(float(total), expected, rtol=1e-5, atol=1e-6)
