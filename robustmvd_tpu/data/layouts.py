@@ -104,6 +104,49 @@ class MVDUnstructuredDefaultLayout(Layout):
             col += 1
 
 
+class EvalMVDLayout(Layout):
+    """Evaluation qualitatives layout: key image + GT maps + prediction
+
+    overlays written back by the eval engine as dataset updates
+    (reference: multi_view_depth_evaluation.py:732-863 `_get_layout`)."""
+
+    def __init__(self, name="eval_mvd", eval_uncertainty=True):
+        super().__init__(name=name)
+        self.visualizations.append(
+            Visualization(0, 0, "image", lambda s: _image(s, s["keyview_idx"]), "Key Image")
+        )
+        self.visualizations.append(
+            Visualization(0, 1, "float", lambda s: _float_map(s["depth"]), "GT Depth")
+        )
+        self.visualizations.append(
+            Visualization(1, 1, "float", lambda s: _float_map(s["invdepth"]), "GT Inverse Depth")
+        )
+        self.visualizations.append(
+            Visualization(
+                2, 1, "mask",
+                lambda s: _float_map((s["depth"] > 0).astype(np.float32)),
+                "GT Mask",
+            )
+        )
+        self.visualizations.append(
+            Visualization(0, 2, "float", lambda s: _float_map(s["pred_depth"]), "Predicted Depth")
+        )
+        self.visualizations.append(
+            Visualization(1, 2, "float", lambda s: _float_map(s["pred_invdepth"]), "Predicted Inverse Depth")
+        )
+        self.visualizations.append(
+            Visualization(2, 2, "float", lambda s: _float_map(s["pointwise_absrel"]), "Absolute Relative Error")
+        )
+        if eval_uncertainty:
+            self.visualizations.append(
+                Visualization(
+                    3, 2, "float",
+                    lambda s: _float_map(s["pred_depth_uncertainty"]),
+                    "Predicted Depth Uncertainty",
+                )
+            )
+
+
 class AllImagesLayout(Layout):
     """All views in a grid (reference: layouts.py:213-262)."""
 

@@ -563,9 +563,11 @@ class MultiViewDepthEvaluation:
 
         layout_path = None
         try:
-            from ..data.layouts import MVDUnstructuredDefaultLayout
+            from ..data.layouts import EvalMVDLayout
 
-            layout = MVDUnstructuredDefaultLayout("eval_mvd", num_views=1, max_views=1)
+            layout = EvalMVDLayout(
+                "eval_mvd", eval_uncertainty=self.eval_uncertainty
+            )
             layout_path = osp.join(self.qualitatives_dir, "layout.pickle")
             layout.write(layout_path)
         except Exception:
