@@ -25,10 +25,15 @@ from .data import (  # noqa: F401
     create_compound_dataset,
     create_dataloader,
     list_datasets,
+    list_base_datasets,
+    list_dataset_types,
+    list_splits,
     has_dataset,
     list_augmentations,
+    has_augmentation,
     create_augmentation,
     list_batch_augmentations,
+    has_batch_augmentation,
     create_batch_augmentation,
 )
 from .loss import create_loss, list_losses, has_loss  # noqa: F401

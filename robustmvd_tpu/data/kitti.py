@@ -75,3 +75,36 @@ class KITTIRobustMVD(Dataset):
         ]
         layouts = default_layouts + layouts if layouts is not None else default_layouts
         super().__init__(root=root, layouts=layouts, **kwargs)
+
+
+class _KITTIEigenDenseDepth(Dataset):
+    """KITTI Eigen split with dense (annotated) depth.
+
+    Single-view samples (num_views=1, keyview 0); the sample list is
+    user-generated (the reference bundles none either — its
+    ``_init_samples_from_list`` would look for
+    ``kitti.eigen_dense_depth_{test,train}.mvd.pickle``).
+    Reference: rmvd/data/kitti.py:80-116.
+    """
+
+    base_dataset = "kitti"
+    dataset_type = "mvd"
+
+    def __init__(self, root=None, layouts=None, **kwargs):
+        root = root if root is not None else self._get_path("kitti", "root")
+        default_layouts = [
+            MVDSequentialDefaultLayout("default", num_views=1, keyview_idx=0),
+            AllImagesLayout("all_images", num_views=1),
+        ]
+        layouts = default_layouts + layouts if layouts is not None else default_layouts
+        super().__init__(root=root, layouts=layouts, **kwargs)
+
+
+@register_dataset
+class KITTIEigenDenseDepthTest(_KITTIEigenDenseDepth):
+    split = "eigen_dense_depth_test"
+
+
+@register_dataset
+class KITTIEigenDenseDepthTrain(_KITTIEigenDenseDepth):
+    split = "eigen_dense_depth_train"

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from .dataset import Dataset, Sample
+from .layouts import AllImagesLayout, MVDUnstructuredDefaultLayout
 from .registry import register_default_dataset
 
 
@@ -57,14 +58,26 @@ class SyntheticMVD(Dataset):
     dataset_type = "mvd"
 
     def __init__(
-        self, num_samples=16, num_views=3, height=64, width=128, root=".", **kwargs
+        self,
+        num_samples=16,
+        num_views=3,
+        height=64,
+        width=128,
+        root=".",
+        layouts=None,
+        **kwargs,
     ):
         self._num_samples = num_samples
         self._num_views = num_views
         self._height = height
         self._width = width
         kwargs.setdefault("verbose", False)
-        super().__init__(root=root, **kwargs)
+        default_layouts = [
+            MVDUnstructuredDefaultLayout("default", num_views=num_views, max_views=num_views),
+            AllImagesLayout("all_images", num_views=num_views),
+        ]
+        layouts = default_layouts + layouts if layouts is not None else default_layouts
+        super().__init__(root=root, layouts=layouts, **kwargs)
 
     def _init_samples(self, **kwargs):
         self.samples = [
