@@ -32,6 +32,60 @@ kaiming_leaky = nn.initializers.variance_scaling(
 )
 
 
+def _s2d_conv_stride2(x, kernel, bias):
+    """Exact space-to-depth rewrite of a stride-2 odd-kernel conv.
+
+    A stride-2 conv with a low-channel input (the encoder's 3-channel
+    first conv) is pathological on TPU: XLA pads the 3 input channels to
+    the 128-lane register width, wasting ~40x of the MXU. Rearranging the
+    input into 2x2 blocks (H, W, C) -> (H/2, W/2, 4C) and scattering the
+    (k, k) kernel into the equivalent (ceil((k+1)/2), ...) stride-1 kernel
+    computes the identical sums (bit-differences only from f32 reduction
+    order). Measured on v5e at 384x1280x3, k=7: 7.3x faster.
+
+    Output pixel o(i,j) = sum_{dy,dx} w[dy+p, dx+p] x[2i+dy, 2j+dx] with
+    p = (k-1)//2. Writing dy = 2q + r (r in {0,1}) maps each original tap
+    to block row q = a + q_min of the rearranged input, so
+    K4[a, b, (r_y, r_x, c)] = w[2(a + q_min) + r_y + p, ...].
+    """
+    k = kernel.shape[0]
+    C = kernel.shape[2]
+    p = (k - 1) // 2
+    # block-row offsets q cover dy = 2q + r in [-p, p] for r in {0, 1}
+    q_min = -((p + 1) // 2)
+    q_max = p // 2
+    kk = q_max - q_min + 1  # reduced kernel size
+
+    B, H, W, _ = x.shape
+    xd = (
+        x.reshape(B, H // 2, 2, W // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, 4 * C)
+    )
+
+    # gather w rows/cols at dy = 2*(a + q_min) + r + p via a padded view:
+    # row index ranges over [2*q_min + p, 2*q_max + 1 + p]
+    lo = 2 * q_min + p
+    hi = 2 * q_max + 1 + p
+    pad_lo = max(0, -lo)
+    pad_hi = max(0, hi - (k - 1))
+    wp = jnp.pad(kernel, ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0), (0, 0)))
+    rows = wp[lo + pad_lo : hi + pad_lo + 1]  # (2*kk, k+pads, C, F)
+    rows = rows[:, lo + pad_lo : hi + pad_lo + 1]  # (2*kk, 2*kk, C, F)
+    F = kernel.shape[3]
+    t = rows.reshape(kk, 2, kk, 2, C, F)  # (a, ry, b, rx, c, o)
+    K4 = t.transpose(0, 2, 1, 3, 4, 5).reshape(kk, kk, 4 * C, F)
+
+    y = jax.lax.conv_general_dilated(
+        xd,
+        K4,
+        window_strides=(1, 1),
+        padding=((-q_min, q_max), (-q_min, q_max)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias
+
+
 class ConvLReLU(nn.Module):
     """Conv(k, s, torch-symmetric padding) + LeakyReLU(0.2)
 
@@ -40,10 +94,23 @@ class ConvLReLU(nn.Module):
     features: int
     kernel_size: int = 3
     stride: int = 1
+    s2d: bool = False  # stride-2 space-to-depth rewrite (see _s2d_conv_stride2)
 
     @nn.compact
     def __call__(self, x):
         p = (self.kernel_size - 1) // 2
+        if (
+            self.s2d
+            and self.stride == 2
+            and self.kernel_size % 2 == 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            # identical math and identical parameter tree to the nn.Conv
+            # path (kernel stays (k, k, C, F) under "conv"), so torch
+            # checkpoint import and the weight-decay filter are unaffected.
+            x = _S2DConv(self.features, self.kernel_size, name="conv")(x)
+            return leaky_relu(x)
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -54,6 +121,25 @@ class ConvLReLU(nn.Module):
             name="conv",
         )(x)
         return leaky_relu(x)
+
+
+class _S2DConv(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Conv(k, stride 2)`` that runs
+
+    the space-to-depth rewrite. Params are named kernel/bias with the same
+    shapes as nn.Conv, so checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", kaiming_leaky, (k, k, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return _s2d_conv_stride2(x, kernel, bias)
 
 
 class TorchConvTranspose(nn.Module):
@@ -148,9 +234,13 @@ class DispnetEncoder(nn.Module):
 
     (reference: rmvd/models/blocks/dispnet_encoder.py:6-27)."""
 
+    s2d: bool = False  # see _s2d_conv_stride2; isolated conv1 is 7x faster
+    # with it, but measured end-to-end on v5e the surrounding layout copies
+    # cost more than the conv saves (18.2 -> 20.6 ms/frame), so default off.
+
     @nn.compact
     def __call__(self, image):
-        conv1 = ConvLReLU(64, kernel_size=7, stride=2, name="conv1")(image)
+        conv1 = ConvLReLU(64, kernel_size=7, stride=2, s2d=self.s2d, name="conv1")(image)
         conv2 = ConvLReLU(128, kernel_size=5, stride=2, name="conv2")(conv1)
         conv3a = ConvLReLU(256, kernel_size=3, stride=2, name="conv3")(conv2)
         return {"conv1": conv1, "conv2": conv2, "conv3a": conv3a}, conv3a
