@@ -134,6 +134,11 @@ class RobustMVDModule(nn.Module):
             min_depth=self.min_depth,
             max_depth=self.max_depth,
             impl=self.corr_impl,
+            # hypothesis slab size for the sampling scan: 128 fills the
+            # MXU M-dim for inference (10.3 vs 18.3 ms/frame on v5e at
+            # KITTI size); under remat'd autodiff smaller slabs win
+            # (112.6 vs 122.5 ms/step at the paper train recipe).
+            slab_size=32 if self.remat else 128,
         )
 
         # correlation volumes: views over "view", hypothesis slabs over "hyp";

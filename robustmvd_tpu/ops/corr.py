@@ -38,7 +38,7 @@ from .epipolar import EpipolarCoeffs, make_epipolar_coeffs, planesweep_points, s
 from .sampling import bilinear_sample
 
 
-def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_pallas=False, sampling_dtype="float32"):
+def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_pallas=False, sampling_dtype="float32", slab_size=128):
     """All-pairs matmul + scalar bilinear gather along rows.
 
     feat_key: (B, H, W, C); feat_src: (B, Hs, Ws, C);
@@ -104,9 +104,15 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
         )(corr_img, y0i, wy, x0i, wx)
         return _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws)
 
+    # slab_size=128 fills the MXU's M dimension in the per-slab dot —
+    # measured on v5e at KITTI eval shape: slab 64 -> 18.3 ms/frame full
+    # forward, 128 -> 10.3 ms, 256 -> 10.7 ms. Under autodiff the remat'd
+    # grad recompute flips the preference (paper-recipe train step:
+    # slab 32 -> 112.6 ms, 64 -> 133.3, 128 -> 122.5), so training passes
+    # slab_size=32 (see planesweep_correlation).
     slab = S
-    for cand in (64, 32, 16, 8, 4, 2, 1):
-        if S % cand == 0:
+    for cand in (slab_size, 128, 64, 32, 16, 8, 4, 2, 1):
+        if cand <= S and S % cand == 0:
             slab = cand
             break
     num_slabs = S // slab
@@ -275,6 +281,7 @@ def planesweep_correlation_single(
     key_to_source_transform,
     invdepths,
     impl="matmul",
+    slab_size=128,
 ):
     """Correlation volume for one source view.
 
@@ -304,9 +311,11 @@ def planesweep_correlation_single(
     us, vs, vis = planesweep_points(coeffs, invdepths)
 
     if impl == "matmul":
-        return _corr_matmul(feat_key, feat_src, us, vs, vis)
+        return _corr_matmul(feat_key, feat_src, us, vs, vis, slab_size=slab_size)
     elif impl == "matmul_bf16":
-        return _corr_matmul(feat_key, feat_src, us, vs, vis, sampling_dtype="bfloat16")
+        return _corr_matmul(
+            feat_key, feat_src, us, vs, vis, sampling_dtype="bfloat16", slab_size=slab_size
+        )
     elif impl == "pallas":
         return _corr_matmul(feat_key, feat_src, us, vs, vis, use_pallas=True)
     elif impl == "gather":
@@ -327,6 +336,7 @@ def planesweep_correlation(
     invdepths=None,
     sampling_type="linear_invdepth",
     impl="matmul",
+    slab_size=128,
 ):
     """Correlation volumes over all source views.
 
@@ -366,7 +376,8 @@ def planesweep_correlation(
     @jax.checkpoint
     def per_view(feat_src, K_src, T):
         return planesweep_correlation_single(
-            feat_key, feat_src, intrinsics_key, K_src, T, invdepths, impl=impl
+            feat_key, feat_src, intrinsics_key, K_src, T, invdepths, impl=impl,
+            slab_size=slab_size,
         )
 
     corrs, masks = jax.vmap(per_view, in_axes=(1, 1, 1), out_axes=1)(
