@@ -8,6 +8,7 @@ from .registry import (
 )
 from .factory import create_optimizer, create_scheduler
 from . import optims  # noqa: F401  (self-registration)
+from .optims import adam, rmsprop, flownet_scheduler, mvsnet_scheduler  # noqa: F401
 
 __all__ = [
     "register_optimizer",
@@ -18,4 +19,8 @@ __all__ = [
     "has_scheduler",
     "create_optimizer",
     "create_scheduler",
+    "adam",
+    "rmsprop",
+    "flownet_scheduler",
+    "mvsnet_scheduler",
 ]

@@ -1,5 +1,7 @@
 """Training engines (reference parity: rmvd/train/__init__.py:4-12)."""
 
+from .training import Training  # noqa: F401
+
 
 def create_training(training_type, *args, **kwargs):
     if training_type == "mvd":

@@ -115,3 +115,33 @@ def from_relative_intrinsics(K_rel, width, height):
         [[width] * 3, [height] * 3, [1.0] * 3], dtype=np.float32
     )
     return K_rel * scale
+
+
+def trans_from_transform(T):
+    """Translation vector(s) of 4x4 transform(s) (reference:
+
+    rmvd/utils/utils.py:84-85, batched: torchutils.py:64-79)."""
+    import numpy as np
+
+    T = np.asarray(T)
+    return T[..., 0:3, 3]
+
+
+def rot_from_transform(T):
+    """Rotation block(s) of 4x4 transform(s) (reference:
+
+    rmvd/utils/utils.py:88-89, batched: torchutils.py:82-97)."""
+    import numpy as np
+
+    T = np.asarray(T)
+    return T[..., 0:3, 0:3]
+
+
+def normalize(x, axis=None, eps=1e-9):
+    """L2-normalize along ``axis`` (reference: rmvd/utils/utils.py:395-397;
+
+    the reference's torch ``dim`` kwarg is accepted as an alias)."""
+    import numpy as np
+
+    norm = np.linalg.norm(x, axis=axis, keepdims=True)
+    return x / (norm + eps)

@@ -47,3 +47,39 @@ def check_finite(name, *arrays):
         a = np.asarray(arr)
         if not np.isfinite(a).all():
             raise NanError(f"{name}[{i}] contains non-finite values")
+
+
+def get_function(name):
+    """Resolve a dotted ``module.attr`` path to the attribute
+
+    (reference: rmvd/utils/utils.py:44-50)."""
+    import importlib
+
+    mod_name, func_name = name.rsplit(".", 1)
+    return getattr(importlib.import_module(mod_name), func_name)
+
+
+def get_class(name):
+    return get_function(name)
+
+
+def module_exists(name):
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return False
+
+
+def function_exists(name):
+    import importlib
+
+    mod_name, fct_name = name.rsplit(".", 1)
+    if not module_exists(mod_name):
+        return False
+    return hasattr(importlib.import_module(mod_name), fct_name)
+
+
+def class_exists(name):
+    return function_exists(name)
