@@ -28,6 +28,9 @@ def main(args):
     from robustmvd_tpu.models import create_model
     from robustmvd_tpu.parallel import MeshSpec, make_mesh
     from robustmvd_tpu.parallel.context import use_mesh
+    from robustmvd_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
 
     devices = jax.devices()
     if args.platform:

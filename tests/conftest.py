@@ -19,6 +19,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
 
+from robustmvd_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 if os.environ.get("RMVD_TPU_TEST_BACKEND", "cpu") == "cpu":
     try:
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
