@@ -64,7 +64,7 @@ def evaluate(args):
     else:
         dataset = None
 
-    model = create_model(name=args.model, weights=args.weights, train=False)
+    model = create_model(name=args.model, weights=args.weights, train=False, **model_dtype_kwargs(args))
     evaluation = create_evaluation(
         args.eval_type,
         out_dir=args.output,
@@ -97,9 +97,24 @@ def evaluate(args):
     logging.remove_log_file(log_file_path)
 
 
+def model_dtype_kwargs(args):
+    """Forward --dtype to models that accept it (robust_mvd family)."""
+    if getattr(args, "dtype", None):
+        return {"dtype": args.dtype}
+    return {}
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", help=f"Model. Available: {', '.join(list_models())}")
+    parser.add_argument(
+        "--dtype",
+        default=None,
+        choices=["float32", "bfloat16"],
+        help="Model compute precision (models that support it). float32 is "
+        "the parity default; bfloat16 runs convs/correlation in bf16 with "
+        "fp32 accumulation for higher TPU throughput.",
+    )
     parser.add_argument("--weights", help="Path to model weights. Optional.")
     parser.add_argument("--eval_type", help="mvd | robustmvd")
     parser.add_argument("--dataset", help="Dataset name (for eval_type=mvd).")

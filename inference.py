@@ -87,11 +87,18 @@ def run(args):
     with open(osp.join(args.output_path, "cmd.txt"), "w") as f:
         f.write("python " + " ".join(sys.argv))
 
-    model = create_model(name=args.model, weights=args.weights, train=False)
+    model = create_model(name=args.model, weights=args.weights, train=False, **model_dtype_kwargs(args))
     sample, h_orig, w_orig = load_data(args.input_path)
     pred, _ = model.run(**sample)
     write_pred(pred, args.output_path, h_orig, w_orig)
     print(f"Done. Output written to {args.output_path}.")
+
+
+def model_dtype_kwargs(args):
+    """Forward --dtype to models that accept it (robust_mvd family)."""
+    if getattr(args, "dtype", None):
+        return {"dtype": args.dtype}
+    return {}
 
 
 if __name__ == "__main__":
@@ -99,6 +106,14 @@ if __name__ == "__main__":
     parser.add_argument("--input_path", default="sample_data", help="Path to folder with input data.")
     parser.add_argument("--output_path", default="sample_data/out", help="Path to folder for output data.")
     parser.add_argument("--model", help=f"Model. Available: {', '.join(list_models())}")
+    parser.add_argument(
+        "--dtype",
+        default=None,
+        choices=["float32", "bfloat16"],
+        help="Model compute precision (models that support it). float32 is "
+        "the parity default; bfloat16 runs convs/correlation in bf16 with "
+        "fp32 accumulation for higher TPU throughput.",
+    )
     parser.add_argument("--weights", help="Path to model weights (.pt or .msgpack). Optional.")
     parser.add_argument("--num_gpus", type=int, default=1, help="Accepted for CLI parity; device use is mesh-based.")
     add_platform_arg(parser)

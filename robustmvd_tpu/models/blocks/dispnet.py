@@ -13,6 +13,8 @@ rmvd/loss/multi_scale_uni_laplace.py:58-77) selects the same tensors.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -78,12 +80,13 @@ def _s2d_conv_stride2(x, kernel, bias):
 
     y = jax.lax.conv_general_dilated(
         xd,
-        K4,
+        K4.astype(xd.dtype),
         window_strides=(1, 1),
         padding=((-q_min, q_max), (-q_min, q_max)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return y + bias
+        preferred_element_type=jnp.float32,  # fp32 accumulation
+    ).astype(xd.dtype)
+    return y + bias.astype(xd.dtype)
 
 
 class ConvLReLU(nn.Module):
@@ -95,6 +98,7 @@ class ConvLReLU(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     s2d: bool = False  # stride-2 space-to-depth rewrite (see _s2d_conv_stride2)
+    dtype: Any = None  # compute dtype (params stay fp32); None = input dtype
 
     @nn.compact
     def __call__(self, x):
@@ -109,6 +113,8 @@ class ConvLReLU(nn.Module):
             # identical math and identical parameter tree to the nn.Conv
             # path (kernel stays (k, k, C, F) under "conv"), so torch
             # checkpoint import and the weight-decay filter are unaffected.
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
             x = _S2DConv(self.features, self.kernel_size, name="conv")(x)
             return leaky_relu(x)
         x = nn.Conv(
@@ -118,6 +124,7 @@ class ConvLReLU(nn.Module):
             padding=((p, p), (p, p)),
             use_bias=True,
             kernel_init=kaiming_leaky,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return leaky_relu(x)
@@ -157,6 +164,7 @@ class TorchConvTranspose(nn.Module):
     kernel_size: int = 4
     stride: int = 2
     padding: int = 1
+    dtype: Any = None  # compute dtype (params stay fp32); None = input dtype
 
     @nn.compact
     def __call__(self, x):
@@ -170,16 +178,18 @@ class TorchConvTranspose(nn.Module):
             (k, k, in_features, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        cdt = self.dtype or x.dtype
         pad = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(cdt),
+            kernel.astype(cdt),
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return y + bias
+            preferred_element_type=jnp.float32,  # fp32 accumulation
+        ).astype(cdt)
+        return y + bias.astype(cdt)
 
 
 class DeconvLReLU(nn.Module):
@@ -188,10 +198,11 @@ class DeconvLReLU(nn.Module):
     (reference: dispnet_decoder.py:25-33 `deconv`)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = TorchConvTranspose(self.features, name="conv")(x)
+        x = TorchConvTranspose(self.features, dtype=self.dtype, name="conv")(x)
         return leaky_relu(x)
 
 
@@ -212,7 +223,10 @@ class PredBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(2, kernel_size=(3, 3), padding=((1, 1), (1, 1)), kernel_init=kaiming_leaky, name="conv")(x)
+        # prediction heads always run fp32: the (invdepth, log_b) outputs
+        # feed depth = 1/invdepth, where bf16's ~0.4% relative error would
+        # directly shift benchmark absrel/inlier metrics. Negligible compute.
+        x = nn.Conv(2, kernel_size=(3, 3), padding=((1, 1), (1, 1)), kernel_init=kaiming_leaky, name="conv")(x.astype(jnp.float32))
         return relu_and_sigmoid(x, -10.0, 10.0)
 
 
@@ -222,10 +236,11 @@ class IConvBlock(nn.Module):
     (reference: dispnet_decoder.py:8-14 `iconv_block`)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, kernel_size=(3, 3), padding=((1, 1), (1, 1)), kernel_init=kaiming_leaky, name="conv")(x)
+        x = nn.Conv(self.features, kernel_size=(3, 3), padding=((1, 1), (1, 1)), kernel_init=kaiming_leaky, dtype=self.dtype, name="conv")(x)
         return leaky_relu(x)
 
 
@@ -237,12 +252,13 @@ class DispnetEncoder(nn.Module):
     s2d: bool = False  # see _s2d_conv_stride2; isolated conv1 is 7x faster
     # with it, but measured end-to-end on v5e the surrounding layout copies
     # cost more than the conv saves (18.2 -> 20.6 ms/frame), so default off.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, image):
-        conv1 = ConvLReLU(64, kernel_size=7, stride=2, s2d=self.s2d, name="conv1")(image)
-        conv2 = ConvLReLU(128, kernel_size=5, stride=2, name="conv2")(conv1)
-        conv3a = ConvLReLU(256, kernel_size=3, stride=2, name="conv3")(conv2)
+        conv1 = ConvLReLU(64, kernel_size=7, stride=2, s2d=self.s2d, dtype=self.dtype, name="conv1")(image)
+        conv2 = ConvLReLU(128, kernel_size=5, stride=2, dtype=self.dtype, name="conv2")(conv1)
+        conv3a = ConvLReLU(256, kernel_size=3, stride=2, dtype=self.dtype, name="conv3")(conv2)
         return {"conv1": conv1, "conv2": conv2, "conv3a": conv3a}, conv3a
 
 
@@ -251,9 +267,11 @@ class DispnetContextEncoder(nn.Module):
 
     (reference: rmvd/models/blocks/dispnet_context_encoder.py:6-13)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, conv3):
-        return ConvLReLU(32, kernel_size=1, stride=1, name="conv_redir")(conv3)
+        return ConvLReLU(32, kernel_size=1, stride=1, dtype=self.dtype, name="conv_redir")(conv3)
 
 
 class LearnedFusion(nn.Module):
@@ -265,6 +283,8 @@ class LearnedFusion(nn.Module):
     reduction, so sharding V across chips turns this into a psum.
     """
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, corrs, masks):
         B, V, H, W, S = corrs.shape
@@ -274,10 +294,11 @@ class LearnedFusion(nn.Module):
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
             kernel_init=kaiming_leaky,
+            dtype=self.dtype,
             name="corr_to_view_weight_conv0",
         )
         conv1 = nn.Conv(
-            1, kernel_size=(1, 1), kernel_init=kaiming_leaky, name="corr_to_view_weight_conv1"
+            1, kernel_size=(1, 1), kernel_init=kaiming_leaky, dtype=self.dtype, name="corr_to_view_weight_conv1"
         )
 
         flat = corrs.reshape(B * V, H, W, S)
@@ -304,16 +325,19 @@ class DispnetCostvolumeEncoder(nn.Module):
 
     (reference: rmvd/models/blocks/dispnet_costvolume_encoder.py:7-50)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, corr, ctx):
-        merged = jnp.concatenate([ctx, corr], axis=-1)
-        conv3_1 = ConvLReLU(256, name="conv3_1")(merged)
-        conv4 = ConvLReLU(512, stride=2, name="conv4")(conv3_1)
-        conv4_1 = ConvLReLU(512, name="conv4_1")(conv4)
-        conv5 = ConvLReLU(512, stride=2, name="conv5")(conv4_1)
-        conv5_1 = ConvLReLU(512, name="conv5_1")(conv5)
-        conv6 = ConvLReLU(1024, stride=2, name="conv6")(conv5_1)
-        conv6_1 = ConvLReLU(1024, name="conv6_1")(conv6)
+        merged = jnp.concatenate([ctx, corr.astype(ctx.dtype)], axis=-1)
+        dt = self.dtype
+        conv3_1 = ConvLReLU(256, dtype=dt, name="conv3_1")(merged)
+        conv4 = ConvLReLU(512, stride=2, dtype=dt, name="conv4")(conv3_1)
+        conv4_1 = ConvLReLU(512, dtype=dt, name="conv4_1")(conv4)
+        conv5 = ConvLReLU(512, stride=2, dtype=dt, name="conv5")(conv4_1)
+        conv5_1 = ConvLReLU(512, dtype=dt, name="conv5_1")(conv5)
+        conv6 = ConvLReLU(1024, stride=2, dtype=dt, name="conv6")(conv5_1)
+        conv6_1 = ConvLReLU(1024, dtype=dt, name="conv6_1")(conv6)
         all_enc = {
             "merged": merged,
             "conv3_1": conv3_1,
@@ -335,9 +359,12 @@ class DispnetDecoder(nn.Module):
     reference (:88-121 `.detach()`).
     """
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, enc_fused, all_enc):
         preds = {}
+        dt = self.dtype
 
         def add_outputs(pred):
             # reference: dispnet_decoder.py:126-138
@@ -354,13 +381,15 @@ class DispnetDecoder(nn.Module):
 
         def upsample_detached(pred, like):
             target = like.shape[1:3]
-            return jax.lax.stop_gradient(resize_bilinear(pred, target))
+            # preds are fp32 (see PredBlock); cast to the skip features'
+            # compute dtype for the concat
+            return jax.lax.stop_gradient(resize_bilinear(pred, target)).astype(like.dtype)
 
         pred_0 = PredBlock(name="pred_0")(enc_fused)
         add_outputs(pred_0)
 
-        deconv_1 = DeconvLReLU(512, name="deconv_1")(enc_fused)
-        rfeat1 = IConvBlock(512, name="rfeat1")(
+        deconv_1 = DeconvLReLU(512, dtype=dt, name="deconv_1")(enc_fused)
+        rfeat1 = IConvBlock(512, dtype=dt, name="rfeat1")(
             jnp.concatenate(
                 [all_enc["conv5_1"], deconv_1, upsample_detached(pred_0, deconv_1)], -1
             )
@@ -368,8 +397,8 @@ class DispnetDecoder(nn.Module):
         pred_1 = PredBlock(name="pred_1")(rfeat1)
         add_outputs(pred_1)
 
-        deconv_2 = DeconvLReLU(256, name="deconv_2")(rfeat1)
-        rfeat2 = IConvBlock(256, name="rfeat2")(
+        deconv_2 = DeconvLReLU(256, dtype=dt, name="deconv_2")(rfeat1)
+        rfeat2 = IConvBlock(256, dtype=dt, name="rfeat2")(
             jnp.concatenate(
                 [all_enc["conv4_1"], deconv_2, upsample_detached(pred_1, deconv_2)], -1
             )
@@ -377,8 +406,8 @@ class DispnetDecoder(nn.Module):
         pred_2 = PredBlock(name="pred_2")(rfeat2)
         add_outputs(pred_2)
 
-        deconv_3 = DeconvLReLU(128, name="deconv_3")(rfeat2)
-        rfeat3 = IConvBlock(128, name="rfeat3")(
+        deconv_3 = DeconvLReLU(128, dtype=dt, name="deconv_3")(rfeat2)
+        rfeat3 = IConvBlock(128, dtype=dt, name="rfeat3")(
             jnp.concatenate(
                 [all_enc["conv3_1"], deconv_3, upsample_detached(pred_2, deconv_3)], -1
             )
@@ -386,8 +415,8 @@ class DispnetDecoder(nn.Module):
         pred_3 = PredBlock(name="pred_3")(rfeat3)
         add_outputs(pred_3)
 
-        deconv_4 = DeconvLReLU(64, name="deconv_4")(rfeat3)
-        rfeat4 = IConvBlock(64, name="rfeat4")(
+        deconv_4 = DeconvLReLU(64, dtype=dt, name="deconv_4")(rfeat3)
+        rfeat4 = IConvBlock(64, dtype=dt, name="rfeat4")(
             jnp.concatenate(
                 [all_enc["conv2"], deconv_4, upsample_detached(pred_3, deconv_4)], -1
             )
@@ -395,8 +424,8 @@ class DispnetDecoder(nn.Module):
         pred_4 = PredBlock(name="pred_4")(rfeat4)
         add_outputs(pred_4)
 
-        deconv_5 = DeconvLReLU(32, name="deconv_5")(rfeat4)
-        rfeat5 = IConvBlock(32, name="rfeat5")(
+        deconv_5 = DeconvLReLU(32, dtype=dt, name="deconv_5")(rfeat4)
+        rfeat5 = IConvBlock(32, dtype=dt, name="rfeat5")(
             jnp.concatenate(
                 [all_enc["conv1"], deconv_5, upsample_detached(pred_4, deconv_5)], -1
             )

@@ -81,6 +81,18 @@ class RobustMVDModule(nn.Module):
     max_depth: float = 1000.0
     corr_impl: str = "matmul"
     remat: bool = True
+    # compute dtype: "float32" (default, bit-parity with the reference) or
+    # "bfloat16" (mixed precision: params, epipolar/coordinate math and the
+    # prediction heads stay fp32; convs + correlation matmuls run bf16 with
+    # fp32 MXU accumulation). Measured depth deviation vs fp32 is ~0.1%
+    # relative (see tests/test_models.py::test_robust_mvd_bf16).
+    dtype: str = "float32"
+    # hypothesis slab size for the correlation sampling scan; None picks the
+    # measured-best default (see the slab_size comment below).
+    slab_size: int | None = None
+    # space-to-depth rewrite of the encoder's stride-2 convs (exact math,
+    # same param tree; see blocks/dispnet._s2d_conv_stride2)
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, num_views=None):
@@ -98,6 +110,9 @@ class RobustMVDModule(nn.Module):
         B, V, H, W, C = images.shape
         images = constrain(images, "data")
 
+        cdt = jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
+        images = images.astype(cdt)
+
         # rematerialize the conv blocks under autodiff: their activations
         # (esp. the full-res encoder features over all views) dominate HBM
         # at training batch sizes; recompute is cheap relative to the saved
@@ -108,7 +123,7 @@ class RobustMVDModule(nn.Module):
         )
         Dec = nn.remat(DispnetDecoder) if self.remat else DispnetDecoder
 
-        encoder = Enc(name="encoder")
+        encoder = Enc(dtype=cdt, s2d=self.s2d, name="encoder")
         all_enc, _ = encoder(images.reshape(B * V, H, W, C))
         all_enc = {k: v.reshape(B, V, *v.shape[1:]) for k, v in all_enc.items()}
 
@@ -122,7 +137,7 @@ class RobustMVDModule(nn.Module):
         # shard source views across the "view" mesh axis
         enc_sources = constrain(enc_sources, "data", "view")
 
-        ctx = DispnetContextEncoder(name="context_encoder")(enc_key)
+        ctx = DispnetContextEncoder(dtype=cdt, name="context_encoder")(enc_key)
 
         corrs, masks, _ = planesweep_correlation(
             feat_key=enc_key,
@@ -138,7 +153,7 @@ class RobustMVDModule(nn.Module):
             # MXU M-dim for inference (10.3 vs 18.3 ms/frame on v5e at
             # KITTI size); under remat'd autodiff smaller slabs win
             # (112.6 vs 122.5 ms/step at the paper train recipe).
-            slab_size=32 if self.remat else 128,
+            slab_size=self.slab_size or (32 if self.remat else 128),
         )
 
         # correlation volumes: views over "view", hypothesis slabs over "hyp";
@@ -156,14 +171,14 @@ class RobustMVDModule(nn.Module):
             masks = masks * valid[:, :, None, None, None].astype(masks.dtype)
             corrs = corrs * valid[:, :, None, None, None].astype(corrs.dtype)
 
-        fused_corr, _ = LearnedFusion(name="fusion_block")(corrs, masks)
+        fused_corr, _ = LearnedFusion(dtype=cdt, name="fusion_block")(corrs, masks)
         fused_corr = constrain(fused_corr, "data", None, None, None)
 
-        all_enc_fused, enc_fused = CostEnc(name="fusion_enc_block")(
+        all_enc_fused, enc_fused = CostEnc(dtype=cdt, name="fusion_enc_block")(
             corr=fused_corr, ctx=ctx
         )
 
-        dec = Dec(name="decoder")(
+        dec = Dec(dtype=cdt, name="decoder")(
             enc_fused=enc_fused,
             all_enc={
                 "conv1": conv1_key,
@@ -183,8 +198,20 @@ class RobustMVDModule(nn.Module):
 
 
 class RobustMVD(ModelBase):
-    def __init__(self, weights=None, train=False, corr_impl="matmul", remat=True, dtype=jnp.float32, seed=0, **module_kwargs):
-        module = RobustMVDModule(corr_impl=corr_impl, remat=remat, **module_kwargs)
+    def __init__(self, weights=None, train=False, corr_impl="matmul", remat=None, dtype="float32", seed=0, **module_kwargs):
+        # remat trades recompute for activation memory — only useful under
+        # autodiff. Defaulting it to the train flag keeps inference/eval on
+        # the fast non-remat graph (slab-128 sampling: 10.5 vs 18 ms/frame
+        # on v5e) while training still fits HBM.
+        if remat is None:
+            remat = train
+        # dtype selects the compute precision ("float32" | "bfloat16");
+        # params and the input pipeline stay fp32 either way.
+        dtype_name = jnp.dtype(dtype).name if not isinstance(dtype, str) else dtype
+        module = RobustMVDModule(
+            corr_impl=corr_impl, remat=remat, dtype=dtype_name, **module_kwargs
+        )
+        dtype = jnp.float32
         if weights is not None:
             variables = load_robust_mvd_weights(weights, module)
         else:

@@ -52,9 +52,14 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
     scale = 1.0 / jnp.sqrt(jnp.asarray(C, dtype=jnp.float32))
 
     if precision is None:
-        # full fp32 on the MXU (3/6-pass); TPU default would be bf16 inputs,
-        # which costs ~0.5% relative error on correlation scores.
-        precision = jax.lax.Precision.HIGHEST
+        # fp32 features: full fp32 on the MXU (3/6-pass); the TPU default
+        # would use bf16 passes, costing ~0.5% relative error on scores.
+        # bf16 features (mixed-precision model): native single-pass MXU.
+        precision = (
+            jax.lax.Precision.DEFAULT
+            if feat_key.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
 
     ref = feat_key.reshape(B, H * W, C)
     src = feat_src.reshape(B, Hs * Ws, C)
@@ -130,7 +135,12 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
     # bf16 interpolation storage halves the HBM traffic of the two-hot
     # weights and partial products (the sampling stage is bandwidth-bound);
     # the MXU still accumulates in fp32. Score error ~1e-3 relative.
-    samp_dtype = jnp.bfloat16 if sampling_dtype == "bfloat16" else jnp.float32
+    # bf16 features (mixed-precision model) imply bf16 sampling storage.
+    samp_dtype = (
+        jnp.bfloat16
+        if (sampling_dtype == "bfloat16" or feat_key.dtype == jnp.bfloat16)
+        else jnp.float32
+    )
     corr_in = corr_img.astype(samp_dtype)
 
     # remat the slab body: without it, autodiff stacks the (B, P, slab, Ws)
@@ -359,8 +369,12 @@ def planesweep_correlation(
 
     if invdepths is None:
         assert min_depth is not None and max_depth is not None
+        # hypothesis values and all downstream coordinate math stay fp32
+        # regardless of the feature compute dtype: bf16's ~0.4% relative
+        # error on us/vs would shift sampling positions by a fraction of a
+        # pixel, which is a real accuracy loss (unlike bf16 feature scores).
         invdepths = sampling_invdepths(
-            min_depth, max_depth, num_sampling_points, sampling_type, dtype=feat_key.dtype
+            min_depth, max_depth, num_sampling_points, sampling_type, dtype=jnp.float32
         )
         invdepths = jnp.broadcast_to(invdepths, (B, invdepths.shape[-1]))
 

@@ -77,3 +77,38 @@ def test_mvsnet_forward_run(rng):
     assert np.isfinite(pred["depth"]).all()
     d = pred["depth"]
     assert d.min() >= 2.0 - 1e-3 and d.max() <= 10.0 + 1e-3
+
+
+@pytest.mark.slow
+def test_robust_mvd_bf16(rng):
+    """Mixed-precision (bfloat16) forward: identical param tree, fp32
+    prediction heads, small deviation from the fp32 path."""
+    m32 = create_model("robust_mvd", pretrained=False, weights=None, remat=False)
+    m16 = create_model(
+        "robust_mvd", pretrained=False, weights=None, remat=False, dtype="bfloat16"
+    )
+    leaves32 = jax.tree_util.tree_leaves(m32.variables)
+    leaves16 = jax.tree_util.tree_leaves(m16.variables)
+    assert all(a.dtype == b.dtype == jnp.float32 for a, b in zip(leaves32, leaves16))
+    assert all((np.asarray(a) == np.asarray(b)).all() for a, b in zip(leaves32, leaves16))
+
+    B, V, H, W = 1, 2, 64, 128
+    images = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32) - 0.4)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    poses[:, 1, 0, 3] = 0.1
+    K = np.tile(
+        np.array([[0.8, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32), (B, V, 1, 1)
+    )
+    kv = jnp.zeros((B,), jnp.int32)
+    _, aux32 = m32.module.apply(
+        m32.variables, images, jnp.asarray(poses), jnp.asarray(K), kv
+    )
+    _, aux16 = m16.module.apply(
+        m16.variables, images, jnp.asarray(poses), jnp.asarray(K), kv
+    )
+    i32 = np.asarray(aux32["invdepth"])
+    i16 = np.asarray(aux16["invdepth"])
+    assert i16.dtype == np.float32  # prediction heads stay fp32
+    # bf16 compute error stays small relative to the invdepth scale
+    scale = np.abs(i32).mean() + 1e-6
+    assert np.abs(i16 - i32).mean() / scale < 0.05

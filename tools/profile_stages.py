@@ -1,0 +1,172 @@
+"""Stage-level timing of the robust_mvd forward on TPU at bench shapes.
+
+Times each stage of the flagship forward separately (encoder, context,
+correlation, fusion, cost-volume encoder, decoder) to locate the remaining
+hot spots. Run from the repo root: `python tools/profile_stages.py`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from robustmvd_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
+from robustmvd_tpu.models import create_model
+from robustmvd_tpu.models.robust_mvd import split_key_sources
+from robustmvd_tpu.models.blocks.dispnet import (
+    DispnetContextEncoder,
+    DispnetCostvolumeEncoder,
+    DispnetDecoder,
+    DispnetEncoder,
+    LearnedFusion,
+)
+from robustmvd_tpu.ops.corr import planesweep_correlation
+
+
+def timeit(fn, *args, iters=20, burnin=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(burnin):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters * 1e3  # ms
+
+
+def main():
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    model = create_model(
+        "robust_mvd", pretrained=False, weights=None, remat=False, dtype=dtype
+    )
+    variables = model.variables
+    mod = model.module
+    p = variables["params"]
+
+    B, V, H, W = 1, 3, 384, 1280
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32) - 0.4)
+    poses_np = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    for i in range(1, V):
+        poses_np[:, i, 0, 3] = 0.1 * i
+    intrinsics = jnp.asarray(
+        np.tile(
+            np.array([[0.8, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], dtype=np.float32),
+            (B, V, 1, 1),
+        )
+    )
+    poses = jnp.asarray(poses_np)
+    keyview_idx = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def full(variables, images):
+        pred, aux = mod.apply(variables, images, poses, intrinsics, keyview_idx)
+        return pred["depth"]
+
+    t_full = timeit(full, variables, images)
+    print(f"full forward           {t_full:8.2f} ms")
+
+    import jax.numpy as _jnp
+
+    cdt = _jnp.bfloat16 if dtype in ("bfloat16", "bf16") else _jnp.float32
+    enc = DispnetEncoder(dtype=cdt, name="encoder")
+    ctx_mod = DispnetContextEncoder(dtype=cdt, name="context_encoder")
+    fus = LearnedFusion(dtype=cdt, name="fusion_block")
+    cve = DispnetCostvolumeEncoder(dtype=cdt, name="fusion_enc_block")
+    dec = DispnetDecoder(dtype=cdt, name="decoder")
+
+    @jax.jit
+    def stage_encoder(images):
+        all_enc, _ = enc.apply({"params": p["encoder"]}, images.reshape(B * V, H, W, 3))
+        return {k: v.reshape(B, V, *v.shape[1:]) for k, v in all_enc.items()}
+
+    all_enc = stage_encoder(images)
+    jax.block_until_ready(all_enc)
+    t_enc = timeit(stage_encoder, images)
+    print(f"encoder ({V} views)      {t_enc:8.2f} ms")
+
+    conv1_key, _ = split_key_sources(all_enc["conv1"], keyview_idx)
+    conv2_key, _ = split_key_sources(all_enc["conv2"], keyview_idx)
+    enc_key, enc_sources = split_key_sources(all_enc["conv3a"], keyview_idx)
+    K_key, K_sources = split_key_sources(intrinsics, keyview_idx)
+    _, key_to_source = split_key_sources(poses, keyview_idx)
+
+    @jax.jit
+    def stage_context(enc_key):
+        return ctx_mod.apply({"params": p["context_encoder"]}, enc_key)
+
+    ctx = stage_context(enc_key)
+    t_ctx = timeit(stage_context, enc_key)
+    print(f"context encoder        {t_ctx:8.2f} ms")
+
+    @jax.jit
+    def stage_corr(enc_key, enc_sources):
+        corrs, masks, _ = planesweep_correlation(
+            feat_key=enc_key,
+            feat_sources=enc_sources,
+            intrinsics_key=K_key,
+            intrinsics_sources=K_sources,
+            key_to_source_transforms=key_to_source,
+            num_sampling_points=256,
+            min_depth=0.4,
+            max_depth=1000.0,
+            impl="matmul",
+            slab_size=128,
+        )
+        return corrs, masks
+
+    corrs, masks = stage_corr(enc_key, enc_sources)
+    jax.block_until_ready((corrs, masks))
+    t_corr = timeit(stage_corr, enc_key, enc_sources)
+    print(f"planesweep correlation {t_corr:8.2f} ms")
+
+    @jax.jit
+    def stage_fusion(corrs, masks):
+        return fus.apply({"params": p["fusion_block"]}, corrs, masks)
+
+    fused = stage_fusion(corrs, masks)
+    jax.block_until_ready(fused)
+    t_fus = timeit(stage_fusion, corrs, masks)
+    print(f"learned fusion         {t_fus:8.2f} ms")
+
+    fused_corr = fused[0]
+
+    @jax.jit
+    def stage_cve(fused_corr, ctx):
+        return cve.apply({"params": p["fusion_enc_block"]}, corr=fused_corr, ctx=ctx)
+
+    all_enc_fused, enc_fused = stage_cve(fused_corr, ctx)
+    jax.block_until_ready(enc_fused)
+    t_cve = timeit(stage_cve, fused_corr, ctx)
+    print(f"costvolume encoder     {t_cve:8.2f} ms")
+
+    @jax.jit
+    def stage_dec(enc_fused, all_enc_fused, conv1_key, conv2_key):
+        return dec.apply(
+            {"params": p["decoder"]},
+            enc_fused=enc_fused,
+            all_enc={"conv1": conv1_key, "conv2": conv2_key, **all_enc_fused},
+        )
+
+    d = stage_dec(enc_fused, all_enc_fused, conv1_key, conv2_key)
+    jax.block_until_ready(d)
+    t_dec = timeit(stage_dec, enc_fused, all_enc_fused, conv1_key, conv2_key)
+    print(f"decoder                {t_dec:8.2f} ms")
+
+    total = t_enc + t_ctx + t_corr + t_fus + t_cve + t_dec
+    print(f"stage sum              {total:8.2f} ms (full fwd {t_full:.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,7 @@ def train(args):
         )
     dataset = datasets[0] if len(datasets) == 1 else create_compound_dataset(datasets)
 
-    model = create_model(name=args.model, pretrained=False, weights=args.weights, train=True)
+    model = create_model(name=args.model, pretrained=False, weights=args.weights, train=True, **model_dtype_kwargs(args))
     optimizer = create_optimizer(name=args.optimizer, model=model, lr=args.lr)
     scheduler = create_scheduler(name=args.scheduler, optimizer=optimizer)
     loss = create_loss(name=args.loss, model=model)
@@ -142,9 +142,24 @@ def train(args):
     logging.remove_log_file(log_file_path)
 
 
+def model_dtype_kwargs(args):
+    """Forward --dtype to models that accept it (robust_mvd family)."""
+    if getattr(args, "dtype", None):
+        return {"dtype": args.dtype}
+    return {}
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", help="Model to train.")
+    parser.add_argument(
+        "--dtype",
+        default=None,
+        choices=["float32", "bfloat16"],
+        help="Model compute precision (models that support it). float32 is "
+        "the parity default; bfloat16 runs convs/correlation in bf16 with "
+        "fp32 accumulation for higher TPU throughput.",
+    )
     parser.add_argument("--weights", help="Initial weights. Optional.")
     parser.add_argument("--training_type", default="mvd")
     parser.add_argument("--dataset", nargs="*", help="Training dataset(s).")
