@@ -79,7 +79,7 @@ class RobustMVDModule(nn.Module):
     num_sampling_points: int = 256
     min_depth: float = 0.4
     max_depth: float = 1000.0
-    corr_impl: str = "matmul"
+    corr_impl: str = "pixelscan"
     remat: bool = True
     # compute dtype: "float32" (default, bit-parity with the reference) or
     # "bfloat16" (mixed precision: params, epipolar/coordinate math and the
@@ -198,7 +198,7 @@ class RobustMVDModule(nn.Module):
 
 
 class RobustMVD(ModelBase):
-    def __init__(self, weights=None, train=False, corr_impl="matmul", remat=None, dtype="float32", seed=0, **module_kwargs):
+    def __init__(self, weights=None, train=False, corr_impl="pixelscan", remat=None, dtype="float32", seed=0, **module_kwargs):
         # remat trades recompute for activation memory — only useful under
         # autodiff. Defaulting it to the train flag keeps inference/eval on
         # the fast non-remat graph (slab-128 sampling: 10.5 vs 18 ms/frame

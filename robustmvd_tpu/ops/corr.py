@@ -7,9 +7,16 @@ feature vector with the source feature map bilinearly sampled at the
 epipolar point (us[s,p], vs[s,p]); zero out samples that fall outside the
 source image or behind either camera.
 
-Two TPU-native formulations, selected by ``impl``:
+TPU-native formulations, selected by ``impl``:
 
-- ``"matmul"`` (default): compute the all-pairs score matrix
+- ``"pixelscan"`` (default, fastest measured): a lax.scan over pixel
+  chunks computes each chunk's all-pairs scores on the MXU and contracts
+  them with bilinear tent weights immediately — the (P, Hs·Ws) score
+  matrix never reaches HBM (no layout copy, no re-reads; 1.6x the
+  hypothesis-slab path on v5e, and the backward recomputes per chunk).
+  See ``_corr_pixelscan``.
+
+- ``"matmul"``: compute the all-pairs score matrix
   ``ref^T @ src / sqrt(C)`` on the MXU (one large bf16-friendly matmul),
   then bilinearly gather *scalars* along each key pixel's row at the S
   hypothesis locations. Gathered bytes shrink by a factor of C (=256)
@@ -33,6 +40,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .epipolar import EpipolarCoeffs, make_epipolar_coeffs, planesweep_points, sampling_invdepths
 from .sampling import bilinear_sample
@@ -199,6 +207,112 @@ def _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws):
     return corr, mask
 
 
+def _corr_pixelscan(feat_key, feat_src, us, vs, vis_mask, sampling_dtype="float32", chunk=1920):
+    """Pixel-chunk scan: per-chunk all-pairs dot + fused tent sampling.
+
+    Reformulates the matmul impl so the (P, Hs*Ws) score matrix NEVER
+    materializes in HBM: a lax.scan over pixel chunks computes each chunk's
+    all-pairs scores on the MXU and immediately contracts them with the
+    bilinear interpolation weights. Two wins over the hypothesis-slab scan
+    (measured on v5e at KITTI eval shape, xprof device time):
+
+    - no (B, P, Hs, Ws) buffer -> no HBM round trip and, crucially, no
+      layout copy between the matmul (which XLA emits P-minor) and the
+      sampler (which wants Ws-minor): 1.56 -> 0.97 ms per view.
+    - the y-contraction runs as dot_general(corr (chunk, Hs, Ws),
+      ryT (chunk, Hs, S)) contracting Hs -> output (chunk, Ws, S): M=Ws
+      keeps lanes at S (no 160->256 lane padding) and the VPU x-reduce
+      shrinks accordingly.
+
+    Interpolation weights are exact bilinear "tents" max(0, 1-|iota-c|)
+    (identical to the two-hot construction: out-of-range taps match no
+    iota position and contribute exactly 0 = zeros padding).
+
+    Same semantics as _corr_matmul (reference: TorchCorr,
+    rmvd/models/blocks/planesweep_corr.py:143-195).
+    """
+    B, H, W, C = feat_key.shape
+    Hs, Ws = feat_src.shape[1], feat_src.shape[2]
+    S = us.shape[1]
+    P = H * W
+
+    samp_dtype = (
+        jnp.bfloat16
+        if (sampling_dtype == "bfloat16" or feat_key.dtype == jnp.bfloat16)
+        else jnp.float32
+    )
+    # fp32 features: full fp32 on the MXU (see _corr_matmul's precision note)
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if feat_key.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    scale = np.float32(1.0) / np.sqrt(np.float32(C))
+
+    # pixel-center -> index space, (B, P, S)
+    x = jnp.transpose(us, (0, 2, 3, 1)).reshape(B, P, S) - 0.5
+    y = jnp.transpose(vs, (0, 2, 3, 1)).reshape(B, P, S) - 0.5
+
+    chunk_eff = min(chunk, P)
+    n = -(-P // chunk_eff)
+    Pp = n * chunk_eff
+    ref = feat_key.reshape(B, P, C)
+    if Pp != P:
+        ref = jnp.pad(ref, ((0, 0), (0, Pp - P), (0, 0)))
+        # out-of-range pad coords -> tents are all-zero -> output rows 0
+        x = jnp.pad(x, ((0, 0), (0, Pp - P), (0, 0)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, Pp - P), (0, 0)), constant_values=-10.0)
+
+    iota_h = jnp.arange(Hs, dtype=jnp.float32)
+    iota_w = jnp.arange(Ws, dtype=jnp.float32)
+
+    def per_batch(ref_b, srcT_b, y_b, x_b):
+        refs = ref_b.reshape(n, chunk_eff, C)
+        ys = y_b.reshape(n, chunk_eff, S)
+        xs = x_b.reshape(n, chunk_eff, S)
+
+        # remat the step: its intermediates (the chunk's score block and
+        # weight tents) are large but trivial to recompute in the backward.
+        @jax.checkpoint
+        def step(_, inp):
+            r, yy, xx = inp
+            corr = jax.lax.dot_general(
+                r,
+                srcT_b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=samp_dtype,
+                precision=precision,
+            ).reshape(chunk_eff, Hs, Ws)
+            # (chunk, Hs, S) bilinear row weights
+            ryT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(iota_h[:, None] - yy[:, None, :])
+            ).astype(samp_dtype)
+            # contract Hs -> (chunk, Ws, S); M=Ws, N=S keeps lanes unpadded
+            m2 = jax.lax.dot_general(
+                corr,
+                ryT,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            rxT = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w[:, None] - xx[:, None, :]))
+            return None, jnp.sum(m2 * rxT, axis=1) * scale  # (chunk, S)
+
+        _, out = jax.lax.scan(step, None, (refs, ys, xs))
+        return out.reshape(Pp, S)
+
+    srcT = jnp.transpose(feat_src.reshape(B, Hs * Ws, C), (0, 2, 1))
+    out = jax.vmap(per_batch)(ref, srcT, y, x)[:, :P]
+
+    x0 = jnp.floor(x[:, :P])
+    y0 = jnp.floor(y[:, :P])
+    wx = x[:, :P] - x0
+    wy = y[:, :P] - y0
+    return _finish_corr(
+        out, feat_key, vis_mask, x0.astype(jnp.int32), y0.astype(jnp.int32),
+        wx, wy, B, H, W, S, Hs, Ws,
+    )
+
+
 def _corr_gather(feat_key, feat_src, us, vs, vis_mask, slab_size=16):
     """Hypothesis-slab row-gather + fused dot — the fast TPU formulation.
 
@@ -301,7 +415,7 @@ def planesweep_correlation_single(
         intrinsics_key / intrinsics_src: (B, 3, 3) relative intrinsics.
         key_to_source_transform: (B, 4, 4).
         invdepths: (B, S) inverse-depth hypotheses.
-        impl: "matmul" | "gather".
+        impl: "pixelscan" | "matmul" | "gather" (+ "_bf16" variants, "pallas").
 
     Returns:
         corr, mask: (B, H, W, S) float32.
@@ -320,7 +434,13 @@ def planesweep_correlation_single(
     )
     us, vs, vis = planesweep_points(coeffs, invdepths)
 
-    if impl == "matmul":
+    if impl == "pixelscan":
+        return _corr_pixelscan(feat_key, feat_src, us, vs, vis)
+    elif impl == "pixelscan_bf16":
+        return _corr_pixelscan(
+            feat_key, feat_src, us, vs, vis, sampling_dtype="bfloat16"
+        )
+    elif impl == "matmul":
         return _corr_matmul(feat_key, feat_src, us, vs, vis, slab_size=slab_size)
     elif impl == "matmul_bf16":
         return _corr_matmul(
@@ -359,7 +479,7 @@ def planesweep_correlation(
         num_sampling_points / min_depth / max_depth or explicit invdepths
             (B, S) — exactly one of the two parameterizations
             (reference: planesweep_corr.py:464-487).
-        impl: "matmul" | "gather".
+        impl: "pixelscan" | "matmul" | "gather" (+ "_bf16" variants, "pallas").
 
     Returns:
         corrs: (B, V, H, W, S), masks: (B, V, H, W, S), invdepths: (B, S).

@@ -61,7 +61,7 @@ def small_problem(rng):
     return feat_key, feat_src, K, T, invd
 
 
-@pytest.mark.parametrize("impl", ["matmul", "gather", "pallas"])
+@pytest.mark.parametrize("impl", ["matmul", "gather", "pallas", "pixelscan"])
 def test_corr_matches_brute_force(small_problem, impl):
     feat_key, feat_src, K, T, invd = small_problem
     H, W = feat_key.shape[1:3]
@@ -102,7 +102,7 @@ def test_matmul_and_gather_agree(rng):
     )
 
     out = {}
-    for impl in ("matmul", "gather"):
+    for impl in ("matmul", "gather", "pixelscan"):
         corrs, masks, invd = planesweep_correlation(
             jnp.asarray(feat_key),
             jnp.asarray(feat_srcs),
@@ -118,6 +118,10 @@ def test_matmul_and_gather_agree(rng):
 
     np.testing.assert_array_equal(out["matmul"][1], out["gather"][1])
     np.testing.assert_allclose(out["matmul"][0], out["gather"][0], atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(out["matmul"][1], out["pixelscan"][1])
+    np.testing.assert_allclose(
+        out["matmul"][0], out["pixelscan"][0], atol=1e-4, rtol=1e-4
+    )
 
 
 def test_identity_pose_correlates_in_place(rng):
