@@ -84,8 +84,12 @@ def _s2d_conv_stride2(x, kernel, bias):
         window_strides=(1, 1),
         padding=((-q_min, q_max), (-q_min, q_max)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,  # fp32 accumulation
-    ).astype(xd.dtype)
+        # NOTE: no preferred_element_type here — TPU convs accumulate fp32
+        # on the MXU regardless and round once on a bf16 output (bit-equal
+        # to f32-accumulate-then-cast), while an explicit f32 output dtype
+        # breaks the conv transpose rule under autodiff with bf16 operands
+        # (f32 cotangent x bf16 kernel).
+    )
     return y + bias.astype(xd.dtype)
 
 
@@ -187,8 +191,9 @@ class TorchConvTranspose(nn.Module):
             padding=((pad, pad), (pad, pad)),
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,  # fp32 accumulation
-        ).astype(cdt)
+            # fp32 MXU accumulation is implicit; see the s2d conv note on
+            # why preferred_element_type=f32 must not be set (autodiff).
+        )
         return y + bias.astype(cdt)
 
 

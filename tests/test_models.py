@@ -112,3 +112,49 @@ def test_robust_mvd_bf16(rng):
     # bf16 compute error stays small relative to the invdepth scale
     scale = np.abs(i32).mean() + 1e-6
     assert np.abs(i16 - i32).mean() / scale < 0.05
+
+
+def test_robust_mvd_bf16_grads(rng):
+    """Mixed-precision training path: gradients through the bf16 compute
+    graph (convs without an explicit f32 output dtype — the conv transpose
+    rule rejects mixed f32-cotangent/bf16-kernel operands) are finite and
+    aligned with the fp32 gradients."""
+    m32 = create_model(
+        "robust_mvd", pretrained=False, weights=None, train=True, remat=False
+    )
+    m16 = create_model(
+        "robust_mvd", pretrained=False, weights=None, train=True, remat=False,
+        dtype="bfloat16",
+    )
+    B, V, H, W = 1, 2, 64, 128
+    images = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32) - 0.4)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    poses[:, 1, 0, 3] = 0.1
+    K = np.tile(
+        np.array([[0.8, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32), (B, V, 1, 1)
+    )
+    kv = jnp.zeros((B,), jnp.int32)
+    gt = jnp.asarray((1.0 / (1.0 + 9.0 * rng.rand(B, H, W, 1))).astype(np.float32))
+
+    def make_loss(model):
+        def loss_fn(params):
+            variables = dict(model.variables)
+            variables["params"] = params
+            _, aux = model.module.apply(
+                variables, images, jnp.asarray(poses), jnp.asarray(K), kv
+            )
+            pred = aux["invdepths_all"][-1]  # finest decoder scale (1/2 res)
+            gt_s = gt[:, ::2, ::2]
+            mask = gt_s > 0
+            return jnp.sum(jnp.abs(pred - gt_s) * mask) / jnp.sum(mask)
+        return loss_fn
+
+    g32 = jax.grad(make_loss(m32))(m32.variables["params"])
+    g16 = jax.grad(make_loss(m16))(m16.variables["params"])
+
+    flat32 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g32)])
+    flat16 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g16)])
+    assert np.isfinite(flat16).all()
+    assert np.abs(flat16).max() > 0
+    cos = np.dot(flat32, flat16) / (np.linalg.norm(flat32) * np.linalg.norm(flat16) + 1e-12)
+    assert cos > 0.98, cos
