@@ -14,7 +14,9 @@ TPU-native formulations, selected by ``impl``:
   them with bilinear tent weights immediately — the (P, Hs·Ws) score
   matrix never reaches HBM (no layout copy, no re-reads; 1.6x the
   hypothesis-slab path on v5e, and the backward recomputes per chunk).
-  See ``_corr_pixelscan``.
+  Coordinates, visibility and the in-bounds mask are generated inside the
+  scan from the epipolar coefficients, so no (B, S, H, W) intermediate
+  exists at all. See ``_corr_pixelscan_fused``.
 
 - ``"matmul"``: compute the all-pairs score matrix
   ``ref^T @ src / sqrt(C)`` on the MXU (one large bf16-friendly matmul),
@@ -207,41 +209,35 @@ def _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws):
     return corr, mask
 
 
-def _corr_pixelscan(feat_key, feat_src, us, vs, vis_mask, sampling_dtype="float32", chunk=1920):
-    """Pixel-chunk scan: per-chunk all-pairs dot + fused tent sampling.
+def _corr_pixelscan_fused(
+    feat_key, feat_src, coeffs, invdepths, sampling_dtype="float32", chunk=1920
+):
+    """Fully-fused pixel-chunk scan: epipolar coordinates, visibility,
+    in-bounds mask, all-pairs scores and bilinear sampling in ONE scan.
 
-    Reformulates the matmul impl so the (P, Hs*Ws) score matrix NEVER
-    materializes in HBM: a lax.scan over pixel chunks computes each chunk's
-    all-pairs scores on the MXU and immediately contracts them with the
-    bilinear interpolation weights. Two wins over the hypothesis-slab scan
-    (measured on v5e at KITTI eval shape, xprof device time):
+    Extends _corr_pixelscan by also generating the sampling coordinates
+    per chunk from the closed-form epipolar coefficients (rational-linear
+    in inverse depth, ops/epipolar.py) and deriving the all-taps-in-bounds
+    mask from the tent-weight sums: sum_y(ry) * sum_x(rx) equals the old
+    4-tap weight sum exactly (tents are zero out of range), so
+    ``wsum >= 0.9999`` reproduces _finish_corr's mask bit-for-bit in f32.
+    This removes every (B, S, H, W)-sized intermediate (us, vs, vis,
+    x0/y0/wx/wy) from HBM — only the (B, H, W, S) outputs remain.
 
-    - no (B, P, Hs, Ws) buffer -> no HBM round trip and, crucially, no
-      layout copy between the matmul (which XLA emits P-minor) and the
-      sampler (which wants Ws-minor): 1.56 -> 0.97 ms per view.
-    - the y-contraction runs as dot_general(corr (chunk, Hs, Ws),
-      ryT (chunk, Hs, S)) contracting Hs -> output (chunk, Ws, S): M=Ws
-      keeps lanes at S (no 160->256 lane padding) and the VPU x-reduce
-      shrinks accordingly.
-
-    Interpolation weights are exact bilinear "tents" max(0, 1-|iota-c|)
-    (identical to the two-hot construction: out-of-range taps match no
-    iota position and contribute exactly 0 = zeros padding).
-
-    Same semantics as _corr_matmul (reference: TorchCorr,
-    rmvd/models/blocks/planesweep_corr.py:143-195).
+    Reference semantics: planesweep_corr.py:396-427 forward +
+    :489-512 sampling points + :499-506 visibility.
     """
     B, H, W, C = feat_key.shape
     Hs, Ws = feat_src.shape[1], feat_src.shape[2]
-    S = us.shape[1]
+    S = invdepths.shape[-1]
     P = H * W
+    out_dtype = feat_key.dtype
 
     samp_dtype = (
         jnp.bfloat16
         if (sampling_dtype == "bfloat16" or feat_key.dtype == jnp.bfloat16)
         else jnp.float32
     )
-    # fp32 features: full fp32 on the MXU (see _corr_matmul's precision note)
     precision = (
         jax.lax.Precision.DEFAULT
         if feat_key.dtype == jnp.bfloat16
@@ -249,33 +245,47 @@ def _corr_pixelscan(feat_key, feat_src, us, vs, vis_mask, sampling_dtype="float3
     )
     scale = np.float32(1.0) / np.sqrt(np.float32(C))
 
-    # pixel-center -> index space, (B, P, S)
-    x = jnp.transpose(us, (0, 2, 3, 1)).reshape(B, P, S) - 0.5
-    y = jnp.transpose(vs, (0, 2, 3, 1)).reshape(B, P, S) - 0.5
-
     chunk_eff = min(chunk, P)
     n = -(-P // chunk_eff)
     Pp = n * chunk_eff
     ref = feat_key.reshape(B, P, C)
+    uvk = coeffs.uvk_inf.reshape(B, P, 3)
     if Pp != P:
         ref = jnp.pad(ref, ((0, 0), (0, Pp - P), (0, 0)))
-        # out-of-range pad coords -> tents are all-zero -> output rows 0
-        x = jnp.pad(x, ((0, 0), (0, Pp - P), (0, 0)), constant_values=-10.0)
-        y = jnp.pad(y, ((0, 0), (0, Pp - P), (0, 0)), constant_values=-10.0)
+        # k_h = 0 in the pad -> coordinates become +-1e9 -> tents all-zero
+        uvk = jnp.pad(uvk, ((0, 0), (0, Pp - P), (0, 0)))
 
     iota_h = jnp.arange(Hs, dtype=jnp.float32)
     iota_w = jnp.arange(Ws, dtype=jnp.float32)
 
-    def per_batch(ref_b, srcT_b, y_b, x_b):
+    def per_batch(ref_b, srcT_b, uvk_b, m_b, ds_b):
         refs = ref_b.reshape(n, chunk_eff, C)
-        ys = y_b.reshape(n, chunk_eff, S)
-        xs = x_b.reshape(n, chunk_eff, S)
+        uvks = uvk_b.reshape(n, chunk_eff, 3)
+        m_u, m_v, m_k = m_b[0], m_b[1], m_b[2]
+        zs = 1.0 / ds_b  # (S,)
+        vis_key = (zs > 0.0)[None, :]  # (1, S)
 
-        # remat the step: its intermediates (the chunk's score block and
-        # weight tents) are large but trivial to recompute in the backward.
         @jax.checkpoint
         def step(_, inp):
-            r, yy, xx = inp
+            r, uvkc = inp  # (chunk, C), (chunk, 3)
+            u_inf = uvkc[:, 0:1]  # (chunk, 1)
+            v_inf = uvkc[:, 1:2]
+            k_inf = uvkc[:, 2:3]
+            denom = k_inf + m_k * ds_b[None, :]  # (chunk, S)
+            rdenom = 1.0 / denom  # one reciprocal feeds both coordinates
+            xx = (u_inf + m_u * ds_b[None, :]) * rdenom - 0.5
+            yy = (v_inf + m_v * ds_b[None, :]) * rdenom - 0.5
+
+            def fix(a):
+                a = jnp.where(jnp.isinf(a), 1e9 * jnp.sign(a), a)
+                return jnp.where(jnp.isnan(a), 1e9, a)
+
+            xx = fix(xx)
+            yy = fix(yy)
+
+            # visibility: in front of both cameras (planesweep_corr.py:499-506)
+            vis = vis_key & ((k_inf * zs[None, :] + m_k) > 0.0)  # (chunk, S)
+
             corr = jax.lax.dot_general(
                 r,
                 srcT_b,
@@ -283,34 +293,40 @@ def _corr_pixelscan(feat_key, feat_src, us, vs, vis_mask, sampling_dtype="float3
                 preferred_element_type=samp_dtype,
                 precision=precision,
             ).reshape(chunk_eff, Hs, Ws)
-            # (chunk, Hs, S) bilinear row weights
             ryT = jnp.maximum(
                 0.0, 1.0 - jnp.abs(iota_h[:, None] - yy[:, None, :])
-            ).astype(samp_dtype)
-            # contract Hs -> (chunk, Ws, S); M=Ws, N=S keeps lanes unpadded
+            ).astype(samp_dtype)  # (chunk, Hs, S)
             m2 = jax.lax.dot_general(
                 corr,
                 ryT,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            rxT = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w[:, None] - xx[:, None, :]))
-            return None, jnp.sum(m2 * rxT, axis=1) * scale  # (chunk, S)
+            )  # (chunk, Ws, S)
+            rxT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(iota_w[:, None] - xx[:, None, :])
+            )  # (chunk, Ws, S) f32: multiplies into the f32 reduce
+            sampled = jnp.sum(m2 * rxT, axis=1) * scale  # (chunk, S)
 
-        _, out = jax.lax.scan(step, None, (refs, ys, xs))
-        return out.reshape(Pp, S)
+            # all-taps-in-bounds via the CLOSED FORM of the tent weight
+            # sums: sum_y max(0, 1-|y-c|) over the integer grid [0, N-1]
+            # equals clamp(min(c+1, N-1-c+1), 0, 1) — exactly 1 iff both
+            # taps are in range, edge ramps otherwise. O(chunk*S) instead
+            # of reducing the (chunk, N, S) tent tensors.
+            def tent_sum(c, N):
+                return jnp.clip(jnp.minimum(c + 1.0, jnp.float32(N) - c), 0.0, 1.0)
+
+            wsum = tent_sum(yy, Hs) * tent_sum(xx, Ws)
+            mask = ((wsum >= 0.9999) & vis).astype(out_dtype)
+            return None, (sampled.astype(out_dtype) * mask, mask)
+
+        _, (corr, mask) = jax.lax.scan(step, None, (refs, uvks))
+        return corr.reshape(Pp, S), mask.reshape(Pp, S)
 
     srcT = jnp.transpose(feat_src.reshape(B, Hs * Ws, C), (0, 2, 1))
-    out = jax.vmap(per_batch)(ref, srcT, y, x)[:, :P]
-
-    x0 = jnp.floor(x[:, :P])
-    y0 = jnp.floor(y[:, :P])
-    wx = x[:, :P] - x0
-    wy = y[:, :P] - y0
-    return _finish_corr(
-        out, feat_key, vis_mask, x0.astype(jnp.int32), y0.astype(jnp.int32),
-        wx, wy, B, H, W, S, Hs, Ws,
-    )
+    corr, mask = jax.vmap(per_batch)(ref, srcT, uvk, coeffs.m, invdepths)
+    corr = corr[:, :P].reshape(B, H, W, S)
+    mask = mask[:, :P].reshape(B, H, W, S)
+    return corr, mask
 
 
 def _corr_gather(feat_key, feat_src, us, vs, vis_mask, slab_size=16):
@@ -432,15 +448,19 @@ def planesweep_correlation_single(
         height_source=Hs,
         width_source=Ws,
     )
+
+    # the pixelscan impls generate coordinates + masks inside the scan from
+    # the epipolar coefficients — no (B, S, H, W) intermediates at all
+    if impl == "pixelscan":
+        return _corr_pixelscan_fused(feat_key, feat_src, coeffs, invdepths)
+    elif impl == "pixelscan_bf16":
+        return _corr_pixelscan_fused(
+            feat_key, feat_src, coeffs, invdepths, sampling_dtype="bfloat16"
+        )
+
     us, vs, vis = planesweep_points(coeffs, invdepths)
 
-    if impl == "pixelscan":
-        return _corr_pixelscan(feat_key, feat_src, us, vs, vis)
-    elif impl == "pixelscan_bf16":
-        return _corr_pixelscan(
-            feat_key, feat_src, us, vs, vis, sampling_dtype="bfloat16"
-        )
-    elif impl == "matmul":
+    if impl == "matmul":
         return _corr_matmul(feat_key, feat_src, us, vs, vis, slab_size=slab_size)
     elif impl == "matmul_bf16":
         return _corr_matmul(
