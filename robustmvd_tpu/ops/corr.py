@@ -293,19 +293,23 @@ def _corr_pixelscan_fused(
                 preferred_element_type=samp_dtype,
                 precision=precision,
             ).reshape(chunk_eff, Hs, Ws)
-            ryT = jnp.maximum(
-                0.0, 1.0 - jnp.abs(iota_h[:, None] - yy[:, None, :])
-            ).astype(samp_dtype)  # (chunk, Hs, S)
-            m2 = jax.lax.dot_general(
-                corr,
-                ryT,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (chunk, Ws, S)
+            # x-contraction on the MXU first: K=Ws (better MXU fill than
+            # K=Hs — feature maps are wider than tall at every benchmark
+            # size) and the remaining VPU reduce runs over Hs, the short
+            # axis: (chunk, Hs, S) instead of (chunk, Ws, S).
             rxT = jnp.maximum(
                 0.0, 1.0 - jnp.abs(iota_w[:, None] - xx[:, None, :])
-            )  # (chunk, Ws, S) f32: multiplies into the f32 reduce
-            sampled = jnp.sum(m2 * rxT, axis=1) * scale  # (chunk, S)
+            ).astype(samp_dtype)  # (chunk, Ws, S)
+            m2 = jax.lax.dot_general(
+                corr,
+                rxT,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (chunk, Hs, S)
+            ryT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(iota_h[:, None] - yy[:, None, :])
+            )  # (chunk, Hs, S) f32: multiplies into the f32 reduce
+            sampled = jnp.sum(m2 * ryT, axis=1) * scale  # (chunk, S)
 
             # all-taps-in-bounds via the CLOSED FORM of the tent weight
             # sums: sum_y max(0, 1-|y-c|) over the integer grid [0, N-1]
