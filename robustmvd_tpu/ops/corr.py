@@ -259,6 +259,14 @@ def _corr_pixelscan_fused(
     iota_w = jnp.arange(Ws, dtype=jnp.float32)
 
     def per_batch(ref_b, srcT_b, uvk_b, m_b, ds_b):
+        # Gradients never flow through the sampling COORDINATES: they derive
+        # from poses/intrinsics/hypotheses, none of which are learned (the
+        # reference likewise discards grid_sample's grid gradient). Without
+        # this, the scan's backward materializes d_ryT/d_rxT cotangents —
+        # (chunk, Hs|Ws, S) f32 tensors, ~1.5 GB/step at the paper recipe.
+        uvk_b = jax.lax.stop_gradient(uvk_b)
+        m_b = jax.lax.stop_gradient(m_b)
+        ds_b = jax.lax.stop_gradient(ds_b)
         refs = ref_b.reshape(n, chunk_eff, C)
         uvks = uvk_b.reshape(n, chunk_eff, 3)
         m_u, m_v, m_k = m_b[0], m_b[1], m_b[2]

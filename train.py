@@ -98,7 +98,14 @@ def train(args):
         )
     dataset = datasets[0] if len(datasets) == 1 else create_compound_dataset(datasets)
 
-    model = create_model(name=args.model, pretrained=False, weights=args.weights, train=True, **model_dtype_kwargs(args))
+    model_kwargs = model_dtype_kwargs(args)
+    if getattr(args, "no_remat", False):
+        # trades activation memory for speed: at the paper recipe (batch 4,
+        # 384x768) the pixelscan correlation already bounds the big buffers,
+        # so disabling the outer remat is faster (74 vs 99 ms/step bf16 on
+        # v5e) and still fits HBM; larger batches (>=16) need remat.
+        model_kwargs["remat"] = False
+    model = create_model(name=args.model, pretrained=False, weights=args.weights, train=True, **model_kwargs)
     optimizer = create_optimizer(name=args.optimizer, model=model, lr=args.lr)
     scheduler = create_scheduler(name=args.scheduler, optimizer=optimizer)
     loss = create_loss(name=args.loss, model=model)
@@ -184,6 +191,7 @@ if __name__ == "__main__":
     parser.add_argument("--num_gpus", type=int, default=1, help="CLI parity; mesh-based.")
     add_platform_arg(parser)
     parser.add_argument("--data_parallel", action="store_true", help="Shard batch over all devices.")
+    parser.add_argument("--no_remat", action="store_true", help="Disable activation rematerialization (faster, more memory; fits the paper recipe on one chip).")
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--exp_id")
