@@ -245,8 +245,12 @@ def _corr_pixelscan_fused(
     )
     scale = np.float32(1.0) / np.sqrt(np.float32(C))
 
-    chunk_eff = min(chunk, P)
-    n = -(-P // chunk_eff)
+    # balance the chunk so padding stays minimal: a fixed chunk of 1920 at
+    # e.g. P=4608 (training crops) would pad 25% dead pixels; instead keep
+    # the step count and shrink the chunk to the smallest multiple of 8
+    # that covers P in that many steps.
+    n = max(1, -(-P // min(chunk, P)))
+    chunk_eff = -(-(-(-P // n)) // 8) * 8
     Pp = n * chunk_eff
     ref = feat_key.reshape(B, P, C)
     uvk = coeffs.uvk_inf.reshape(B, P, 3)
