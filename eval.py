@@ -100,6 +100,10 @@ def evaluate(args):
 def model_dtype_kwargs(args):
     """Forward --dtype to models that accept it (robust_mvd family)."""
     if getattr(args, "dtype", None):
+        if not str(getattr(args, "model", "")).startswith("robust_mvd"):
+            raise SystemExit(
+                f"--dtype is only supported by the robust_mvd family, not {args.model}"
+            )
         return {"dtype": args.dtype}
     return {}
 
