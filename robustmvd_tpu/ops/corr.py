@@ -31,8 +31,9 @@ TPU-native formulations, selected by ``impl``:
   of C-vectors + lerp) and dot with the key features. Bandwidth-heavy but
   a useful oracle and better when S is small or C is tiny.
 
-Both produce bitwise-equivalent math (bilinear interpolation commutes with
-the dot product); tests check them against each other and against torch.
+All impls produce equivalent math (bilinear interpolation commutes with
+the dot product); tests check them against each other, against a brute-
+force numpy oracle, and against the reference torch implementation.
 
 Layout: features are NHWC; the returned correlation volume is (B, H, W, S)
 (hypotheses as trailing channels) so downstream convs consume it directly.
@@ -119,12 +120,10 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
         )(corr_img, y0i, wy, x0i, wx)
         return _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws)
 
-    # slab_size=128 fills the MXU's M dimension in the per-slab dot —
-    # measured on v5e at KITTI eval shape: slab 64 -> 18.3 ms/frame full
-    # forward, 128 -> 10.3 ms, 256 -> 10.7 ms. Under autodiff the remat'd
-    # grad recompute flips the preference (paper-recipe train step:
-    # slab 32 -> 112.6 ms, 64 -> 133.3, 128 -> 122.5), so training passes
-    # slab_size=32 (see planesweep_correlation).
+    # slab_size=128 fills the MXU's M dimension in the per-slab dot
+    # (measured on v5e at KITTI eval shape: slab 64 -> 18.3 ms/frame full
+    # forward, 128 -> 10.3 ms, 256 -> 10.7). This impl is kept as an
+    # oracle/ablation path; "pixelscan" supersedes it as the default.
     slab = S
     for cand in (slab_size, 128, 64, 32, 16, 8, 4, 2, 1):
         if cand <= S and S % cand == 0:
