@@ -98,14 +98,14 @@ def evaluate(args):
 
 
 def model_dtype_kwargs(args):
-    """Forward --dtype to models that accept it (robust_mvd family)."""
-    if getattr(args, "dtype", None):
-        if not str(getattr(args, "model", "")).startswith("robust_mvd"):
-            raise SystemExit(
-                f"--dtype is only supported by the robust_mvd family, not {args.model}"
-            )
-        return {"dtype": args.dtype}
-    return {}
+    """CLI model options -> create_model kwargs (shared gate in models.factory)."""
+    from robustmvd_tpu.models import cli_model_kwargs
+
+    return cli_model_kwargs(
+        getattr(args, "model", ""),
+        dtype=getattr(args, "dtype", None) or None,
+        no_remat=getattr(args, "no_remat", False),
+    )
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-from .factory import create_model, prepare_custom_model
+from .factory import cli_model_kwargs, create_model, prepare_custom_model
 from .registry import has_model, list_models, register_model
 from .helpers import ModelBase, add_run_function
 

@@ -214,10 +214,10 @@ def _corr_pixelscan_fused(
     """Fully-fused pixel-chunk scan: epipolar coordinates, visibility,
     in-bounds mask, all-pairs scores and bilinear sampling in ONE scan.
 
-    Extends _corr_pixelscan by also generating the sampling coordinates
-    per chunk from the closed-form epipolar coefficients (rational-linear
-    in inverse depth, ops/epipolar.py) and deriving the all-taps-in-bounds
-    mask from the tent-weight sums: sum_y(ry) * sum_x(rx) equals the old
+    Beyond _corr_matmul's separable-matmul sampling, this generates the
+    sampling coordinates per chunk from the closed-form epipolar
+    coefficients (rational-linear in inverse depth, ops/epipolar.py) and
+    derives the all-taps-in-bounds mask from the tent-weight sums: sum_y(ry) * sum_x(rx) equals the old
     4-tap weight sum exactly (tents are zero out of range), so
     ``wsum >= 0.9999`` reproduces _finish_corr's mask bit-for-bit in f32.
     This removes every (B, S, H, W)-sized intermediate (us, vs, vis,
@@ -255,7 +255,9 @@ def _corr_pixelscan_fused(
     uvk = coeffs.uvk_inf.reshape(B, P, 3)
     if Pp != P:
         ref = jnp.pad(ref, ((0, 0), (0, Pp - P), (0, 0)))
-        # k_h = 0 in the pad -> coordinates become +-1e9 -> tents all-zero
+        # pad rows may produce arbitrary (even in-bounds) coordinates when
+        # m_k != 0; correctness relies on the final [:, :P] slice dropping
+        # their outputs and on the zeroed ref rows, NOT on their masks.
         uvk = jnp.pad(uvk, ((0, 0), (0, Pp - P), (0, 0)))
 
     iota_h = jnp.arange(Hs, dtype=jnp.float32)

@@ -105,7 +105,19 @@ def reference():
     return sys.modules["rmvd"]
 
 
-def test_planesweep_correlation_parity(reference, rng):
+@pytest.mark.parametrize(
+    "impl,atol",
+    [
+        ("matmul", 1e-5),
+        # the default production impl: coordinates are computed inside the
+        # scan via reciprocal-multiply (vs the reference's divides), which
+        # shifts sampling positions by ~1 ulp — amplified near the epipole,
+        # hence the looser tolerance (error vs a float64 oracle is the same
+        # or smaller than the matmul impl's).
+        ("pixelscan", 5e-3),
+    ],
+)
+def test_planesweep_correlation_parity(reference, rng, impl, atol):
     import torch
 
     from tests_common import random_pose_np
@@ -145,13 +157,13 @@ def test_planesweep_correlation_parity(reference, rng):
         jnp.asarray(K),
         jnp.asarray(T),
         jnp.asarray(np.asarray(sampling_invdepths(0.5, 100.0, S))),
-        impl="matmul",
+        impl=impl,
     )
     my_corr = np.asarray(my_corr).transpose(0, 3, 1, 2)
     my_mask = np.asarray(my_mask).transpose(0, 3, 1, 2)
 
     np.testing.assert_array_equal(my_mask, ref_mask)
-    np.testing.assert_allclose(my_corr, ref_corr, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(my_corr, ref_corr, atol=atol, rtol=atol)
 
 
 @pytest.mark.slow

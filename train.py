@@ -98,14 +98,7 @@ def train(args):
         )
     dataset = datasets[0] if len(datasets) == 1 else create_compound_dataset(datasets)
 
-    model_kwargs = model_dtype_kwargs(args)
-    if getattr(args, "no_remat", False):
-        # trades activation memory for speed: at the paper recipe (batch 4,
-        # 384x768) the pixelscan correlation already bounds the big buffers,
-        # so disabling the outer remat is faster (74 vs 99 ms/step bf16 on
-        # v5e) and still fits HBM; larger batches (>=16) need remat.
-        model_kwargs["remat"] = False
-    model = create_model(name=args.model, pretrained=False, weights=args.weights, train=True, **model_kwargs)
+    model = create_model(name=args.model, pretrained=False, weights=args.weights, train=True, **model_dtype_kwargs(args))
     optimizer = create_optimizer(name=args.optimizer, model=model, lr=args.lr)
     scheduler = create_scheduler(name=args.scheduler, optimizer=optimizer)
     loss = create_loss(name=args.loss, model=model)
@@ -150,14 +143,14 @@ def train(args):
 
 
 def model_dtype_kwargs(args):
-    """Forward --dtype to models that accept it (robust_mvd family)."""
-    if getattr(args, "dtype", None):
-        if not str(getattr(args, "model", "")).startswith("robust_mvd"):
-            raise SystemExit(
-                f"--dtype is only supported by the robust_mvd family, not {args.model}"
-            )
-        return {"dtype": args.dtype}
-    return {}
+    """CLI model options -> create_model kwargs (shared gate in models.factory)."""
+    from robustmvd_tpu.models import cli_model_kwargs
+
+    return cli_model_kwargs(
+        getattr(args, "model", ""),
+        dtype=getattr(args, "dtype", None) or None,
+        no_remat=getattr(args, "no_remat", False),
+    )
 
 
 if __name__ == "__main__":
