@@ -316,11 +316,21 @@ class MultiViewDepthEvaluation:
         )
         start_model = time.time()
         output = self.model(**adapted)
-        # block on device work so the timing is real
+        # Force execution with a host fetch: on the tunneled TPU backend
+        # block_until_ready returns before device work completes (see
+        # PARITY.md), which would under-report runtime_model_in_msec — a
+        # published benchmark quantity (reference protocol:
+        # multi_view_depth_evaluation.py:549-572). The fetched arrays are
+        # reused below so the device->host copy is not paid twice.
         import jax
 
-        jax.block_until_ready(jax.tree_util.tree_leaves(output))
+        leaves, treedef = jax.tree_util.tree_flatten(output)
+        fetched = [
+            np.asarray(leaf) if isinstance(leaf, jax.Array) else leaf
+            for leaf in leaves
+        ]
         end_model = time.time()
+        output = jax.tree_util.tree_unflatten(treedef, fetched)
         if hasattr(self.model, "output_adapter"):
             pred, _ = self.model.output_adapter(output)
         else:

@@ -15,8 +15,9 @@ TPU-first choices:
   source views in Python, robust_mvd.py:66-67).
 - The key/source split is a static-shape argsort-gather so the whole forward
   jits with a per-sample dynamic keyview index.
-- The correlation is the MXU matmul formulation (see
-  robustmvd_tpu/ops/corr.py).
+- The correlation is the fused pixel-chunk-scan formulation (default; see
+  robustmvd_tpu/ops/corr.py). `corr_impl="matmul"` remains available as the
+  tightest-parity oracle path.
 """
 
 from __future__ import annotations
@@ -81,7 +82,10 @@ class RobustMVDModule(nn.Module):
     max_depth: float = 1000.0
     corr_impl: str = "pixelscan"
     remat: bool = True
-    # compute dtype: "float32" (default, bit-parity with the reference) or
+    # compute dtype: "float32" (default; with the default pixelscan
+    # correlation, parity vs the torch reference is ~5e-3 relative near the
+    # epipole — see tests/test_reference_parity.py; use corr_impl="matmul"
+    # for the tightest fp32 parity) or
     # "bfloat16" (mixed precision: params, epipolar/coordinate math and the
     # prediction heads stay fp32; convs + correlation matmuls run bf16 with
     # fp32 MXU accumulation). Measured depth deviation vs fp32 is ~0.1%

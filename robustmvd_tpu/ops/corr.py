@@ -169,6 +169,7 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
             corr_in,
             dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=samp_dtype,
+            precision=precision,
         )  # (B, P, slab, Ws)
         # x-contraction fused into the reduce (fp32 accumulation)
         rx = (
@@ -285,9 +286,13 @@ def _corr_pixelscan_fused(
             v_inf = uvkc[:, 1:2]
             k_inf = uvkc[:, 2:3]
             denom = k_inf + m_k * ds_b[None, :]  # (chunk, S)
-            rdenom = 1.0 / denom  # one reciprocal feeds both coordinates
-            xx = (u_inf + m_u * ds_b[None, :]) * rdenom - 0.5
-            yy = (v_inf + m_v * ds_b[None, :]) * rdenom - 0.5
+            # true division, matching the reference's per-coordinate divide
+            # (planesweep_corr.py:333-349): a reciprocal-then-multiply can be
+            # 1 ulp off, enough to flip floor() / the wsum>=0.9999 threshold
+            # on exact pixel/image-boundary coordinates. The divides are not
+            # the bottleneck — the MXU dots are.
+            xx = (u_inf + m_u * ds_b[None, :]) / denom - 0.5
+            yy = (v_inf + m_v * ds_b[None, :]) / denom - 0.5
 
             def fix(a):
                 a = jnp.where(jnp.isinf(a), 1e9 * jnp.sign(a), a)
@@ -318,6 +323,7 @@ def _corr_pixelscan_fused(
                 rxT,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             )  # (chunk, Hs, S)
             ryT = jnp.maximum(
                 0.0, 1.0 - jnp.abs(iota_h[:, None] - yy[:, None, :])
