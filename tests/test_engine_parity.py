@@ -1,0 +1,237 @@
+"""End-to-end benchmark-protocol parity against the reference eval engine.
+
+Runs the reference's ``MultiViewDepthEvaluation`` (torch CPU, imported from
+/root/reference) and this framework's engine over the SAME model weights and
+the SAME synthetic dataset, and asserts the full results DataFrames match:
+per-sample absrel / inliers103 / density, the quasi-optimal source-view
+ordering and best-view-count selection, alignment factors, and AUSE.
+
+This converts "components are individually parity-tested" into "the
+benchmark protocol itself produces the same numbers" — SURVEY.md hard-part
+#4. Reference protocol under test:
+/root/reference/rmvd/eval/multi_view_depth_evaluation.py:269-357 (sweep +
+best selection), :472-547 (postprocess/alignment/clip), :616-655 (AUSE).
+
+Both sides share one resize primitive (the reference's skimage is stubbed
+with robustmvd_tpu.utils.image — see tests_common.install_reference_stubs),
+so what is compared here is the engine logic and the model numerics, not
+two resamplers.
+"""
+
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not osp.isdir(REF), reason="reference unavailable")
+
+# columns that measure time/memory (machine-dependent, excluded from parity)
+_NON_DETERMINISTIC = ("runtime", "mem")
+
+
+class _RefDatasetShim:
+    """Minimal dataset interface for the reference engine: replays this
+
+    framework's dataset samples (post-preprocessing) through the
+    reference's collate, so both engines consume identical inputs."""
+
+    name = "synthetic"
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def get_loader(self, batch_size=1, indices=None, num_workers=0, collate_fn=None):
+        assert batch_size == 1
+        idxs = indices if indices is not None else range(len(self))
+        return [collate_fn([self._dataset[i]]) for i in idxs]
+
+
+@pytest.fixture(scope="module")
+def reference():
+    from tests_common import install_reference_stubs
+
+    install_reference_stubs()
+    import rmvd.eval.multi_view_depth_evaluation  # noqa: F401
+    import rmvd.models.robust_mvd  # noqa: F401
+
+    return sys.modules["rmvd"]
+
+
+@pytest.fixture(scope="module")
+def models(reference):
+    """(torch reference model, converted-weights TPU model) sharing weights."""
+    import torch
+
+    from robustmvd_tpu.models.robust_mvd import RobustMVD
+    from robustmvd_tpu.models.weights import convert_torch_state_dict
+
+    torch.manual_seed(0)
+    tmodel = sys.modules["rmvd.models.robust_mvd"].RobustMVD()
+    tmodel.eval()
+
+    jmodel = RobustMVD()
+    jmodel.variables = convert_torch_state_dict(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    )
+    return tmodel, jmodel
+
+
+def _make_dataset(num_samples, num_views, height, width):
+    """Synthetic MVD dataset with per-view pose diversity large enough that
+
+    the quasi-optimal ordering is unambiguous (per-source absrel gaps well
+    above model-parity noise)."""
+    from robustmvd_tpu.data.synthetic import SyntheticMVD, SyntheticMVDSample
+
+    class _Sample(SyntheticMVDSample):
+        def load(self, root):
+            sample = super().load(root)
+            rng = np.random.RandomState(1000 + self.seed)
+            for i in range(1, self.num_views):
+                T = np.eye(4, dtype=np.float32)
+                # distinct baselines + small rotations per source view
+                T[0, 3] = 0.1 + 0.25 * i
+                T[1, 3] = 0.05 * rng.randn()
+                ang = 0.04 * i
+                T[0, 0] = T[2, 2] = np.cos(ang)
+                T[0, 2] = np.sin(ang)
+                T[2, 0] = -np.sin(ang)
+                sample["poses"][i] = T
+            return sample
+
+    ds = SyntheticMVD(
+        num_samples=num_samples, num_views=num_views, height=height, width=width
+    )
+    ds.samples = [
+        _Sample(i, num_views, height, width) for i in range(num_samples)
+    ]
+    return ds
+
+
+def _metric_name(col):
+    return str(col[-1]) if isinstance(col, tuple) else str(col)
+
+
+def _comparable(df):
+    keep = [
+        c
+        for c in df.columns
+        if not any(s in _metric_name(c) for s in _NON_DETERMINISTIC)
+    ]
+    return df[keep]
+
+
+def _assert_results_match(ref_df, my_df):
+    ref_df = _comparable(ref_df)
+    my_df = _comparable(my_df)
+
+    assert set(map(tuple, ref_df.columns)) == set(map(tuple, my_df.columns))
+    assert list(ref_df.index) == list(my_df.index)
+    my_df = my_df[ref_df.columns]
+
+    for col in ref_df.columns:
+        ref_v = ref_df[col].to_numpy(dtype=np.float64)
+        my_v = my_df[col].to_numpy(dtype=np.float64)
+        metric = _metric_name(col)
+        if metric == "num_views":
+            # best-view-count selection must match exactly
+            np.testing.assert_array_equal(my_v, ref_v, err_msg=str(col))
+        elif metric == "ause":
+            # AUSE ranks pixels by uncertainty; model-parity noise can swap
+            # near-equal ranks, perturbing the curve slightly
+            np.testing.assert_allclose(my_v, ref_v, atol=2e-2, rtol=2e-2, err_msg=str(col))
+        elif metric == "inliers103":
+            # counting metric: a pixel sitting exactly at the 1.03 threshold
+            # can flip under 1e-6 pred noise (1 px = 100/HW on the 0-100 scale)
+            np.testing.assert_allclose(my_v, ref_v, atol=0.2, err_msg=str(col))
+        else:
+            np.testing.assert_allclose(my_v, ref_v, atol=1e-3, rtol=5e-3, err_msg=str(col))
+
+
+@pytest.mark.slow
+def test_engine_parity_quasi_optimal(reference, models):
+    """Full protocol: quasi-optimal ordering, 1..V sweep, best selection,
+
+    uncertainty/AUSE — per-sample DataFrames equal across engines."""
+    from rmvd.eval.multi_view_depth_evaluation import (
+        MultiViewDepthEvaluation as RefEval,
+    )
+
+    from robustmvd_tpu.eval.multi_view_depth_evaluation import (
+        MultiViewDepthEvaluation as TpuEval,
+    )
+
+    tmodel, jmodel = models
+    dataset = _make_dataset(num_samples=4, num_views=4, height=64, width=64)
+
+    kwargs = dict(
+        inputs=["images", "poses", "intrinsics"],
+        alignment=None,
+        view_ordering="quasi-optimal",
+        eval_uncertainty=True,
+        clip_pred_depth=True,
+        sparse_pred=False,
+        verbose=False,
+    )
+    import torch
+
+    with torch.no_grad():
+        ref_results = RefEval(**kwargs)(
+            dataset=_RefDatasetShim(dataset), model=tmodel, qualitatives=None, burn_in_samples=3
+        )
+    my_results = TpuEval(**kwargs)(
+        dataset=dataset, model=jmodel, qualitatives=None, burn_in_samples=3
+    )
+
+    _assert_results_match(ref_results, my_results)
+
+    # the published benchmark quantities: means over the "best" columns
+    ref_best = _comparable(ref_results["best"]).mean()
+    my_best = _comparable(my_results["best"]).mean()[ref_best.index]
+    np.testing.assert_allclose(
+        my_best.to_numpy(np.float64), ref_best.to_numpy(np.float64), rtol=5e-3, atol=2e-2
+    )
+
+
+@pytest.mark.slow
+def test_engine_parity_median_alignment_resized_gt(reference, models):
+    """Nearest ordering + median alignment + GT at non-multiple-of-64 size,
+
+    exercising ResizeInputs (input adapter) and the order-0 pred->GT resize
+    with scaling-factor logging."""
+    from rmvd.eval.multi_view_depth_evaluation import (
+        MultiViewDepthEvaluation as RefEval,
+    )
+
+    from robustmvd_tpu.eval.multi_view_depth_evaluation import (
+        MultiViewDepthEvaluation as TpuEval,
+    )
+
+    tmodel, jmodel = models
+    dataset = _make_dataset(num_samples=3, num_views=3, height=60, width=120)
+
+    kwargs = dict(
+        inputs=["images", "poses", "intrinsics"],
+        alignment="median",
+        view_ordering="nearest",
+        eval_uncertainty=False,
+        clip_pred_depth=True,
+        sparse_pred=False,
+        verbose=False,
+    )
+    import torch
+
+    with torch.no_grad():
+        ref_results = RefEval(**kwargs)(
+            dataset=_RefDatasetShim(dataset), model=tmodel, qualitatives=None, burn_in_samples=3
+        )
+    my_results = TpuEval(**kwargs)(
+        dataset=dataset, model=jmodel, qualitatives=None, burn_in_samples=3
+    )
+
+    _assert_results_match(ref_results, my_results)

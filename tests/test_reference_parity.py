@@ -12,7 +12,6 @@ These tests are skipped when the reference checkout is unavailable.
 
 import os.path as osp
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -22,78 +21,9 @@ pytestmark = pytest.mark.skipif(not osp.isdir(REF), reason="reference unavailabl
 
 
 def _install_reference_stubs():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import torch
+    from tests_common import install_reference_stubs
 
-    pytoml = types.ModuleType("pytoml")
-    pytoml.load = lambda f: {}
-    sys.modules.setdefault("pytoml", pytoml)
-
-    six = types.ModuleType("torch._six")
-    six.string_classes = (str, bytes)
-    sys.modules.setdefault("torch._six", six)
-
-    skimage = types.ModuleType("skimage")
-    sk_t = types.ModuleType("skimage.transform")
-    sk_t.resize = None
-    skimage.transform = sk_t
-    sys.modules.setdefault("skimage", skimage)
-    sys.modules.setdefault("skimage.transform", sk_t)
-
-    tv = types.ModuleType("torchvision")
-    tv_t = types.ModuleType("torchvision.transforms")
-
-    class _Compose:
-        def __init__(self, ts):
-            self.ts = ts
-
-        def __call__(self, x):
-            for t in self.ts:
-                x = t(x)
-            return x
-
-    tv_t.Compose = _Compose
-    tv_t.ColorJitter = lambda **kw: (lambda x: x)
-    tv_t.ToTensor = lambda: (lambda x: x)
-    tv_t.Normalize = lambda **kw: (lambda x: x)
-    tv.transforms = tv_t
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", tv_t)
-
-    kornia = types.ModuleType("kornia")
-    k_u = types.ModuleType("kornia.utils")
-
-    def create_meshgrid(h, w, normalized_coordinates=True, device=None, dtype=None):
-        xs = torch.arange(w, dtype=torch.float32)
-        ys = torch.arange(h, dtype=torch.float32)
-        if normalized_coordinates:
-            xs = 2 * xs / (w - 1) - 1
-            ys = 2 * ys / (h - 1) - 1
-        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
-        return torch.stack([gx, gy], dim=-1)[None]
-
-    k_u.create_meshgrid = create_meshgrid
-    kornia.utils = k_u
-    sys.modules.setdefault("kornia", kornia)
-    sys.modules.setdefault("kornia.utils", k_u)
-
-    ed = types.ModuleType("easydict")
-
-    class EasyDict(dict):
-        def __init__(self, d=None, **kw):
-            d = dict(d or {})
-            d.update(kw)
-            for k, v in d.items():
-                setattr(self, k, v)
-
-        def __setattr__(self, k, v):
-            super().__setattr__(k, v)
-            self[k] = v
-
-    ed.EasyDict = EasyDict
-    sys.modules.setdefault("easydict", ed)
-    sys.modules.setdefault("wandb", types.ModuleType("wandb"))
+    install_reference_stubs()
 
 
 @pytest.fixture(scope="module")
