@@ -94,9 +94,21 @@ def _load_mask(root, view_id):
 
 
 def load(key, root, val):
-    """Dispatch loader for a sample data entry (reference: dtu.py:239-255)."""
+    """Dispatch loader for a sample data entry (reference: dtu.py:239-255).
+
+    Deviation from the reference: loader OBJECTS (DTUImage/DTUDepth — what
+    the bundled dtu.robustmvd manifest actually stores) are dispatched to
+    their own ``load``. The reference's dispatch only handles the
+    (view_id, light_idx)/view_id scene-tuple convention and raises
+    TypeError on its own benchmark sample list (verified against
+    /root/reference upstream; see tests/test_dataset_fixtures.py).
+    """
     if isinstance(val, list):
         return [load(key, root, v) for v in val]
+    if hasattr(val, "load"):
+        return val.load(root)
+    if isinstance(val, (np.ndarray, np.generic)):
+        return val  # already-loaded data (poses/intrinsics in the manifests)
     if key == "images":
         return _load_image(root, val)
     if key == "depth":

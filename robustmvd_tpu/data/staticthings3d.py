@@ -71,6 +71,10 @@ def _load_pose(root, cam, frame_num):
 def load(key, root, val):
     if isinstance(val, list):
         return [load(key, root, v) for v in val]
+    if hasattr(val, "load"):
+        return val.load(root)
+    if isinstance(val, (np.ndarray, np.generic)):
+        return val  # already-loaded data (poses/intrinsics in the manifests)
     if key == "images":
         return _load_image(root, *val)
     if key == "depth":
