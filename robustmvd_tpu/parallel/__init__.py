@@ -1,3 +1,15 @@
-from .mesh import MeshSpec, make_mesh, data_sharding, replicate_sharding
+from .mesh import (
+    MeshSpec,
+    data_sharding,
+    init_distributed,
+    make_mesh,
+    replicate_sharding,
+)
 
-__all__ = ["MeshSpec", "make_mesh", "data_sharding", "replicate_sharding"]
+__all__ = [
+    "MeshSpec",
+    "make_mesh",
+    "data_sharding",
+    "replicate_sharding",
+    "init_distributed",
+]

@@ -128,3 +128,65 @@ def test_evaluation_engine(tmp_path):
     assert len(ds2) >= 1  # restricted to samples with updates
     updated = ds2[0]
     assert "pred_depth" in updated  # the eval's qualitative overlay
+
+    # viewer round-trip (reference: data_viewer.py + dataset.py:256-304):
+    # the re-opened eval dataset renders headlessly through its eval
+    # layout — the full eval -> dataset.cfg -> viewer export workflow
+    from robustmvd_tpu.viewer import run_viewer
+
+    export_dir = str(tmp_path / "viewer_export")
+    layout_names = ds2.get_layout_names()
+    eval_layouts = [n for n in layout_names if n.startswith("eval")]
+    run_viewer(
+        ds2,
+        layout=eval_layouts[0] if eval_layouts else "default",
+        export_dir=export_dir,
+    )
+    pages = __import__("os").listdir(export_dir)
+    assert any(p.endswith(".png") for p in pages), pages
+
+
+@pytest.mark.slow
+def test_eval_runtime_measurement_sane(tmp_path):
+    """runtime_model_in_msec guards: burn-in samples are NaN; measured
+
+    samples are positive, finite, and within sanity bounds of a direct
+    timing of the same jitted forward (the round-2 fix replaced a
+    non-syncing block_until_ready with a pred-leaf host fetch; this pins
+    that behavior — a silent regression to under-reported runtimes would
+    trip the lower bound, an all-leaves eager fetch the upper one)."""
+    from robustmvd_tpu.utils import numpy_collate
+    from robustmvd_tpu.utils.profiler import time_fn
+
+    model = create_model("robust_mvd", pretrained=False, weights=None)
+    dataset = create_dataset(
+        "synthetic.train.mvd", num_samples=6, num_views=2, height=64, width=96
+    )
+    evaluation = create_evaluation(
+        "mvd",
+        out_dir=None,
+        inputs=["images", "intrinsics", "poses"],
+        view_ordering="nearest",
+        eval_uncertainty=False,
+        verbose=False,
+    )
+    results = evaluation(dataset=dataset, model=model, burn_in_samples=3)
+
+    rt = results[(1, "runtime_model_in_msec")]
+    assert rt.iloc[:3].isna().all(), "burn-in samples must not be measured"
+    measured = rt.iloc[3:]
+    assert np.isfinite(measured).all() and (measured > 0).all()
+
+    # direct timing of the identical jitted program (adapter excluded)
+    sample = numpy_collate([dataset[0]])
+    inputs = {
+        k: v
+        for k, v in sample.items()
+        if k in ("images", "intrinsics", "poses", "keyview_idx")
+    }
+    adapted = model.input_adapter(**inputs)
+    direct_ms = time_fn(lambda: model.forward(**adapted), iters=5, burn_in=2) * 1e3
+
+    med = float(measured.median())
+    assert med > 0.2 * direct_ms, (med, direct_ms)
+    assert med < 20 * direct_ms, (med, direct_ms)

@@ -63,3 +63,132 @@ def test_sharded_forward_matches_unsharded(cpu_devices, rng, spec):
     sh_invdepth = np.asarray(sh_aux["invdepth"])
 
     np.testing.assert_allclose(sh_invdepth, ref_invdepth, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mvsnet_view_hyp_sharded_forward(cpu_devices, rng):
+    """mvsnet_train under a (data=2, view=2, hyp=2) mesh: the batched
+
+    variance aggregation (view_parallel=True) shards warped volumes over
+    "view" and hypothesis slabs over "hyp"; sharded == unsharded."""
+    model = create_model(
+        "mvsnet_train", pretrained=False, weights=None,
+        num_sampling_steps=16, view_parallel=True,
+    )
+    B, V, H, W = 2, 3, 64, 64
+    images, poses, intr, kv = _sample(rng, B, V, H, W)
+    intr_abs = intr * jnp.asarray([[W, 1, W], [1, H, H], [1, 1, 1]], jnp.float32)
+    depth_range = (jnp.full((B,), 2.0), jnp.full((B,), 20.0))
+    args = (images, poses, intr_abs, kv, depth_range)
+
+    fwd = jax.jit(
+        lambda v, im, po, k, kvi, dr: model.module.apply(v, im, po, k, kvi, dr)
+    )
+    ref_pred, _ = fwd(model.variables, *args)
+    ref_depth = np.asarray(ref_pred["depth"])
+
+    mesh = make_mesh(MeshSpec(data=2, view=2, hyp=2), devices=cpu_devices)
+    with use_mesh(mesh):
+        sh_pred, _ = jax.jit(
+            lambda v, im, po, k, kvi, dr: model.module.apply(v, im, po, k, kvi, dr)
+        )(model.variables, *args)
+    sh_depth = np.asarray(sh_pred["depth"])
+
+    np.testing.assert_allclose(sh_depth, ref_depth, rtol=1e-4, atol=1e-4)
+
+    # the view_parallel formulation itself must equal the scan default
+    model_scan = create_model(
+        "mvsnet_train", pretrained=False, weights=None, num_sampling_steps=16
+    )
+    scan_pred, _ = jax.jit(
+        lambda v, im, po, k, kvi, dr: model_scan.module.apply(v, im, po, k, kvi, dr)
+    )(model.variables, *args)
+    np.testing.assert_allclose(
+        np.asarray(scan_pred["depth"]), ref_depth, rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_vis_mvsnet_hyp_sharded_forward(cpu_devices, rng):
+    """vis_mvsnet under a (data=2, hyp=4) mesh: per-stage cost volumes
+
+    (D = 64/32/16) shard over "hyp"; sharded == unsharded."""
+    model = create_model("vis_mvsnet", pretrained=False, weights=None)
+    B, V, H, W = 2, 3, 64, 64
+    images, poses, intr, kv = _sample(rng, B, V, H, W)
+    intr_abs = intr * jnp.asarray([[W, 1, W], [1, H, H], [1, 1, 1]], jnp.float32)
+    depth_range = (jnp.full((B,), 2.0), jnp.full((B,), 20.0))
+    args = (images, poses, intr_abs, kv, depth_range)
+
+    fwd = jax.jit(
+        lambda v, im, po, k, kvi, dr: model.module.apply(v, im, po, k, kvi, dr)
+    )
+    ref_pred, _ = fwd(model.variables, *args)
+    ref_depth = np.asarray(ref_pred["depth"])
+
+    mesh = make_mesh(MeshSpec(data=2, view=1, hyp=4), devices=cpu_devices)
+    with use_mesh(mesh):
+        sh_pred, _ = jax.jit(
+            lambda v, im, po, k, kvi, dr: model.module.apply(v, im, po, k, kvi, dr)
+        )(model.variables, *args)
+    sh_depth = np.asarray(sh_pred["depth"])
+
+    np.testing.assert_allclose(sh_depth, ref_depth, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_train_step_grad_equality(cpu_devices, rng):
+    """Full train-step gradients (loss + value_and_grad through the remat
+
+    forward) under a (2,2,2) mesh equal the unsharded gradients — the
+    numeric core of multi-chip training correctness."""
+    from robustmvd_tpu.loss import create_loss
+
+    model = create_model(
+        "robust_mvd", pretrained=False, weights=None, train=True
+    )
+    loss_obj = create_loss("robust_mvd_loss", model=model)
+
+    B, V, H, W = 2, 3, 64, 64
+    images, poses, intr, kv = _sample(rng, B, V, H, W)
+    gt = {
+        "invdepth": jnp.asarray(
+            (1.0 / (2.0 + 8.0 * rng.rand(B, H, W, 1))).astype(np.float32)
+        )
+    }
+    si = {"images": images, "poses": poses, "intrinsics": intr, "keyview_idx": kv}
+
+    def loss_and_grads(variables):
+        def loss_fn(params):
+            vars_in = dict(variables)
+            vars_in["params"] = params
+            pred, aux = model.apply_fn(vars_in, **si)
+            total, _, _ = loss_obj(si, gt, pred, aux, iteration=0, params=params)
+            return total
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    ref_loss, ref_grads = jax.jit(loss_and_grads)(model.variables)
+    ref_loss = float(ref_loss)
+
+    mesh = make_mesh(MeshSpec(data=2, view=2, hyp=2), devices=cpu_devices)
+    with use_mesh(mesh):
+        sh_loss, sh_grads = jax.jit(loss_and_grads)(model.variables)
+    sh_loss = float(sh_loss)
+
+    assert abs(sh_loss - ref_loss) < 1e-3 * abs(ref_loss)
+
+    ref_flat = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(ref_grads)
+    }
+    sh_flat = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(sh_grads)
+    }
+    assert ref_flat.keys() == sh_flat.keys()
+    global_scale = max(float(np.max(np.abs(v))) for v in ref_flat.values()) + 1e-12
+    for name, r in ref_flat.items():
+        s = sh_flat[name]
+        atol = max(2e-3 * (float(np.max(np.abs(r))) + 1e-12), 1e-4 * global_scale)
+        np.testing.assert_allclose(s, r, rtol=2e-3, atol=atol, err_msg=name)
