@@ -28,7 +28,10 @@ class FeaturePyramid(nn.Module):
     """Shared conv stack applied at `scales` image scales
 
     (reference: cvp_mvsnet_components.py:40-83). Returns a list from full
-    resolution to coarsest."""
+    resolution to coarsest. ``dtype`` selects the conv compute precision
+    (params fp32; mixed-precision template)."""
+
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, img, scales=5):
@@ -38,11 +41,12 @@ class FeaturePyramid(nn.Module):
             ("conv0bh", 16),
         ]
         layers = [
-            nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=True, name=name)
+            nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), use_bias=True, dtype=self.dtype, name=name)
             for name, f in convs
         ]
 
         def run(x):
+            x = x.astype(self.dtype)
             for layer in layers:
                 x = nn.leaky_relu(layer(x), negative_slope=0.1)
             return x
@@ -61,14 +65,15 @@ class FeaturePyramid(nn.Module):
 class ConvBnReLU3D(nn.Module):
     features: int
     stride: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.features, (3, 3, 3), strides=(self.stride,) * 3,
-            padding=((1, 1),) * 3, use_bias=False, name="conv",
+            padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -78,6 +83,7 @@ class _Deconv3d(nn.Module):
     features: int
     stride: int = 2
     output_padding: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -91,8 +97,8 @@ class _Deconv3d(nn.Module):
         pad_lo = k - 1 - 1
         pad_hi = k - 1 - 1 + self.output_padding
         return jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1, 1, 1),
             padding=((pad_lo, pad_hi),) * 3,
             lhs_dilation=(self.stride,) * 3,
@@ -105,28 +111,33 @@ class CostRegNet(nn.Module):
 
     output (B, D, h, w) logits."""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x, train=False):
-        conv0 = ConvBnReLU3D(16, name="conv0a")(ConvBnReLU3D(16, name="conv0")(x, train), train)
-        conv2 = ConvBnReLU3D(32, name="conv2a")(
-            ConvBnReLU3D(32, name="conv2")(
-                ConvBnReLU3D(32, stride=2, name="conv1")(conv0, train), train
+        dt = self.dtype
+        x = x.astype(dt)
+        conv0 = ConvBnReLU3D(16, dtype=dt, name="conv0a")(ConvBnReLU3D(16, dtype=dt, name="conv0")(x, train), train)
+        conv2 = ConvBnReLU3D(32, dtype=dt, name="conv2a")(
+            ConvBnReLU3D(32, dtype=dt, name="conv2")(
+                ConvBnReLU3D(32, stride=2, dtype=dt, name="conv1")(conv0, train), train
             ),
             train,
         )
-        conv4 = ConvBnReLU3D(64, name="conv4a")(
-            ConvBnReLU3D(64, name="conv4")(
-                ConvBnReLU3D(64, name="conv3")(conv2, train), train
+        conv4 = ConvBnReLU3D(64, dtype=dt, name="conv4a")(
+            ConvBnReLU3D(64, dtype=dt, name="conv4")(
+                ConvBnReLU3D(64, dtype=dt, name="conv3")(conv2, train), train
             ),
             train,
         )
-        up5 = _Deconv3d(32, stride=1, output_padding=0, name="conv5_deconv")(conv4)
-        up5 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="conv5_bn")(up5)
+        up5 = _Deconv3d(32, stride=1, output_padding=0, dtype=dt, name="conv5_deconv")(conv4)
+        up5 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="conv5_bn")(up5)
         conv5 = conv2 + nn.relu(up5)
-        up6 = _Deconv3d(16, stride=2, output_padding=1, name="conv6_deconv")(conv5)
-        up6 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="conv6_bn")(up6)
+        up6 = _Deconv3d(16, stride=2, output_padding=1, dtype=dt, name="conv6_deconv")(conv5)
+        up6 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="conv6_bn")(up6)
         conv6 = conv0 + nn.relu(up6)
-        prob = nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, name="prob0")(conv6)
+        # prediction head in fp32 (feeds the softmax/depth regression)
+        prob = nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, name="prob0")(conv6.astype(jnp.float32))
         return prob[..., 0]
 
 
@@ -252,15 +263,17 @@ def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, 
     ref_proj_inv = jnp.linalg.inv(ref_proj)
 
     ref_volume = jnp.broadcast_to(ref_feature[:, None], (B, D, H, W, C))
-    volume_sum = ref_volume
-    volume_sq_sum = ref_volume**2
+    # fp32 variance accumulation regardless of feature dtype (bf16
+    # E[x^2]-E[x]^2 cancels catastrophically)
+    volume_sum = ref_volume.astype(jnp.float32)
+    volume_sq_sum = volume_sum**2
 
     for src_idx in range(nsrc):
         proj = proj_mat(src_Ks[:, src_idx], src_exs[:, src_idx]) @ ref_proj_inv
         rot = proj[:, :3, :3]
         trans = proj[:, :3, 3]
         warped = rt_planesweep_warp(src_features[src_idx], rot, trans, hypos_flat)
-        warped = warped * src_valid[:, src_idx].reshape(B, 1, 1, 1, 1)
+        warped = warped.astype(jnp.float32) * src_valid[:, src_idx].reshape(B, 1, 1, 1, 1)
         volume_sum = volume_sum + warped
         volume_sq_sum = volume_sq_sum + warped**2
 

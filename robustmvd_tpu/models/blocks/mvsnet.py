@@ -5,6 +5,12 @@ Reference parity (rmvd/models/blocks/mvsnet_components.py:8-123):
 U-Net hourglass over the (B, D, h, w, C) variance volume with BN+ReLU and
 transposed-conv up path). 3D convs run channel-last through XLA's
 conv_general_dilated, which tiles them onto the MXU.
+
+Mixed precision: every block takes ``dtype`` — bf16 runs the convs on the
+MXU's native single-pass path with fp32 params (flax param_dtype default)
+and fp32 BatchNorm statistics (flax computes BN stats with
+force_float32_reductions regardless of activation dtype), the robust_mvd
+template applied to the family.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ class ConvBnReLU(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     pad: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -30,9 +37,10 @@ class ConvBnReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding=((self.pad, self.pad), (self.pad, self.pad)),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -45,6 +53,7 @@ class ConvBnReLU3D(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     pad: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -55,9 +64,10 @@ class ConvBnReLU3D(nn.Module):
             strides=(s, s, s),
             padding=((p, p), (p, p), (p, p)),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -72,6 +82,7 @@ class TorchConvTranspose3d(nn.Module):
     stride: int = 2
     padding: int = 1
     output_padding: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -86,8 +97,8 @@ class TorchConvTranspose3d(nn.Module):
         pad_hi = k - 1 - self.padding + self.output_padding
         pads = ((pad_lo, pad_hi),) * 3
         return jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1, 1, 1),
             padding=pads,
             lhs_dilation=(self.stride,) * 3,
@@ -97,11 +108,12 @@ class TorchConvTranspose3d(nn.Module):
 
 class DeconvBnReLU3D(nn.Module):
     features: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = TorchConvTranspose3d(self.features, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = TorchConvTranspose3d(self.features, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -110,16 +122,19 @@ class FeatureNet(nn.Module):
 
     (reference: mvsnet_components.py:44-66)."""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x, train=False):
-        x = ConvBnReLU(8, 3, 1, 1, name="conv0")(x, train)
-        x = ConvBnReLU(8, 3, 1, 1, name="conv1")(x, train)
-        x = ConvBnReLU(16, 5, 2, 2, name="conv2")(x, train)
-        x = ConvBnReLU(16, 3, 1, 1, name="conv3")(x, train)
-        x = ConvBnReLU(16, 3, 1, 1, name="conv4")(x, train)
-        x = ConvBnReLU(32, 5, 2, 2, name="conv5")(x, train)
-        x = ConvBnReLU(32, 3, 1, 1, name="conv6")(x, train)
-        x = nn.Conv(32, kernel_size=(3, 3), padding=((1, 1), (1, 1)), name="feature")(x)
+        dt = self.dtype
+        x = ConvBnReLU(8, 3, 1, 1, dtype=dt, name="conv0")(x, train)
+        x = ConvBnReLU(8, 3, 1, 1, dtype=dt, name="conv1")(x, train)
+        x = ConvBnReLU(16, 5, 2, 2, dtype=dt, name="conv2")(x, train)
+        x = ConvBnReLU(16, 3, 1, 1, dtype=dt, name="conv3")(x, train)
+        x = ConvBnReLU(16, 3, 1, 1, dtype=dt, name="conv4")(x, train)
+        x = ConvBnReLU(32, 5, 2, 2, dtype=dt, name="conv5")(x, train)
+        x = ConvBnReLU(32, 3, 1, 1, dtype=dt, name="conv6")(x, train)
+        x = nn.Conv(32, kernel_size=(3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="feature")(x)
         return x
 
 
@@ -128,20 +143,27 @@ class CostRegNet(nn.Module):
 
     (reference: mvsnet_components.py:69-123). Input (B, D, h, w, 32)."""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x, train=False):
-        conv0 = ConvBnReLU3D(8, name="conv0")(x, train)
-        conv2 = ConvBnReLU3D(16, name="conv2")(
-            ConvBnReLU3D(16, stride=2, name="conv1")(conv0, train), train
+        dt = self.dtype
+        conv0 = ConvBnReLU3D(8, dtype=dt, name="conv0")(x, train)
+        conv2 = ConvBnReLU3D(16, dtype=dt, name="conv2")(
+            ConvBnReLU3D(16, stride=2, dtype=dt, name="conv1")(conv0, train), train
         )
-        conv4 = ConvBnReLU3D(32, name="conv4")(
-            ConvBnReLU3D(32, stride=2, name="conv3")(conv2, train), train
+        conv4 = ConvBnReLU3D(32, dtype=dt, name="conv4")(
+            ConvBnReLU3D(32, stride=2, dtype=dt, name="conv3")(conv2, train), train
         )
-        x = ConvBnReLU3D(64, name="conv6")(
-            ConvBnReLU3D(64, stride=2, name="conv5")(conv4, train), train
+        x = ConvBnReLU3D(64, dtype=dt, name="conv6")(
+            ConvBnReLU3D(64, stride=2, dtype=dt, name="conv5")(conv4, train), train
         )
-        x = conv4 + DeconvBnReLU3D(32, name="conv7")(x, train)
-        x = conv2 + DeconvBnReLU3D(16, name="conv9")(x, train)
-        x = conv0 + DeconvBnReLU3D(8, name="conv11")(x, train)
-        x = nn.Conv(1, kernel_size=(3, 3, 3), padding=((1, 1), (1, 1), (1, 1)), name="prob")(x)
+        x = conv4 + DeconvBnReLU3D(32, dtype=dt, name="conv7")(x, train)
+        x = conv2 + DeconvBnReLU3D(16, dtype=dt, name="conv9")(x, train)
+        x = conv0 + DeconvBnReLU3D(8, dtype=dt, name="conv11")(x, train)
+        # prediction head in fp32 (the robust_mvd template keeps heads full
+        # precision; the softmax downstream is fp32 regardless)
+        x = nn.Conv(1, kernel_size=(3, 3, 3), padding=((1, 1), (1, 1), (1, 1)), name="prob")(
+            x.astype(jnp.float32)
+        )
         return x

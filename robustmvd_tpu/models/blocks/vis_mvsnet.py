@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ...ops.homography import get_homographies, homography_warping
 from ...ops.interpolate import resize_bilinear
 from ...ops.reductions import entropy, groupwise_correlation, soft_argmin
+from ...parallel.context import constrain
 
 
 def scale_camera(cam, scale):
@@ -36,7 +37,7 @@ def scale_camera(cam, scale):
     return jnp.stack([cam[:, 0], cam[:, 1] * mult], axis=1)
 
 
-def _conv(features, k, s, dim, name):
+def _conv(features, k, s, dim, name, dtype=jnp.float32):
     pad = ((k // 2, k // 2),) * dim
     return nn.Conv(
         features,
@@ -44,6 +45,7 @@ def _conv(features, k, s, dim, name):
         strides=(s,) * dim,
         padding=pad,
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
@@ -65,21 +67,23 @@ class BasicBlock(nn.Module):
     stride: int = 1
     use_downsample: bool = False
     dim: int = 2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
+        dt = self.dtype
         residual = x
-        out = _conv(self.planes, 3, self.stride, self.dim, "conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1")(out)
+        out = _conv(self.planes, 3, self.stride, self.dim, "conv1", dt)(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, self.dim, "conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2")(out)
+        out = _conv(self.planes, 3, 1, self.dim, "conv2", dt)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn2")(out)
         if self.use_downsample:
-            residual = _conv(self.planes, 1, self.stride, self.dim, "downsample_conv")(x)
+            residual = _conv(self.planes, 1, self.stride, self.dim, "downsample_conv", dt)(x)
             residual = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="downsample_bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="downsample_bn"
             )(residual)
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class ResLayer(nn.Module):
@@ -90,15 +94,17 @@ class ResLayer(nn.Module):
     stride: int = 1
     in_planes: int = -1
     dim: int = 2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         needs_down = self.stride != 1 or x.shape[-1] != self.planes
         x = BasicBlock(
-            self.planes, self.stride, use_downsample=needs_down, dim=self.dim, name="block0"
+            self.planes, self.stride, use_downsample=needs_down, dim=self.dim,
+            dtype=self.dtype, name="block0"
         )(x, train)
         for i in range(1, self.blocks):
-            x = BasicBlock(self.planes, 1, dim=self.dim, name=f"block{i}")(x, train)
+            x = BasicBlock(self.planes, 1, dim=self.dim, dtype=self.dtype, name=f"block{i}")(x, train)
         return x
 
 
@@ -109,6 +115,7 @@ class TorchDeconv(nn.Module):
 
     features: int
     dim: int = 2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -122,8 +129,8 @@ class TorchDeconv(nn.Module):
         pads = ((1, 2),) * self.dim
         dn = ("NHWC", "HWIO", "NHWC") if self.dim == 2 else ("NDHWC", "DHWIO", "NDHWC")
         return jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1,) * self.dim,
             padding=pads,
             lhs_dilation=(2,) * self.dim,
@@ -142,36 +149,38 @@ class UNet(nn.Module):
     filters: Sequence[int]
     head_filters: Sequence[int]
     dim: int = 2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, multi_scale=1, train=False):
+        dt = self.dtype
         idx = 0
         for f in self.bottom_filters:
             stride = 1 if idx == 0 else 2
-            x = ResLayer(f, self.enc, stride, dim=self.dim, name=f"bottom_{idx}")(x, train)
+            x = ResLayer(f, self.enc, stride, dim=self.dim, dtype=dt, name=f"bottom_{idx}")(x, train)
             idx += 1
 
         enc_out = []
         for f in self.filters:
             stride = 1 if idx == 0 else 2
-            x = ResLayer(f, self.enc, stride, dim=self.dim, name=f"enc_{idx}")(x, train)
+            x = ResLayer(f, self.enc, stride, dim=self.dim, dtype=dt, name=f"enc_{idx}")(x, train)
             enc_out.append(x)
             idx += 1
 
         dec_out = [x]
         for i, f in enumerate(self.filters[-2::-1]):
-            x = TorchDeconv(f, dim=self.dim, name=f"dec_{idx}_deconv")(x)
-            x = jnp.concatenate([x, enc_out[-2 - i]], axis=-1)
-            x = _conv(f, 3, 1, self.dim, f"dec_{idx}_post")(x)
+            x = TorchDeconv(f, dim=self.dim, dtype=dt, name=f"dec_{idx}_deconv")(x)
+            x = jnp.concatenate([x, enc_out[-2 - i].astype(x.dtype)], axis=-1)
+            x = _conv(f, 3, 1, self.dim, f"dec_{idx}_post", dt)(x)
             if self.dec > 0:
-                x = ResLayer(f, self.dec, 1, dim=self.dim, name=f"dec_{idx}_res")(x, train)
+                x = ResLayer(f, self.dec, 1, dim=self.dim, dtype=dt, name=f"dec_{idx}_res")(x, train)
             dec_out.append(x)
             idx += 1
 
         for f in self.head_filters:
-            x = TorchDeconv(f, dim=self.dim, name=f"head_{idx}_deconv")(x)
+            x = TorchDeconv(f, dim=self.dim, dtype=dt, name=f"head_{idx}_deconv")(x)
             if self.dec > 0:
-                x = ResLayer(f, self.dec, 1, dim=self.dim, name=f"head_{idx}_res")(x, train)
+                x = ResLayer(f, self.dec, 1, dim=self.dim, dtype=dt, name=f"head_{idx}_res")(x, train)
             dec_out.append(x)
             idx += 1
 
@@ -185,46 +194,58 @@ class FeatExt(nn.Module):
 
     (reference: vis_mvsnet_feature_extractor.py:12-29)."""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(16, (5, 5), (2, 2), padding=((2, 2), (2, 2)), use_bias=False, name="init_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="init_bn")(x)
+        dt = self.dtype
+        x = nn.Conv(16, (5, 5), (2, 2), padding=((2, 2), (2, 2)), use_bias=False, dtype=dt, name="init_conv")(x.astype(dt))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="init_bn")(x)
         x = nn.relu(x)
         out1, out2, out3 = UNet(
             enc=2, dec=1, bottom_filters=(), filters=(32, 64, 128), head_filters=(),
-            dim=2, name="unet",
+            dim=2, dtype=dt, name="unet",
         )(x, multi_scale=3, train=train)
-        f1 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="final_conv_1")(out1)
-        f2 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="final_conv_2")(out2)
-        f3 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="final_conv_3")(out3)
+        f1 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name="final_conv_1")(out1)
+        f2 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name="final_conv_2")(out2)
+        f3 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name="final_conv_3")(out3)
         return f1, f2, f3
 
 
 class Reg(nn.Module):
     """(reference: vis_mvsnet_singlestage.py:21-29)"""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x, train=False):
         return UNet(
             enc=1, dec=0, bottom_filters=(), filters=(8, 16), head_filters=(),
-            dim=3, name="unet",
+            dim=3, dtype=self.dtype, name="unet",
         )(x, train=train)
 
 
 class RegPair(nn.Module):
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="final_conv")(x)
+        # score head in fp32 (feeds the softmax/soft-argmin)
+        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="final_conv")(
+            x.astype(jnp.float32)
+        )
 
 
 class RegFuse(nn.Module):
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x, train=False):
         x = UNet(
             enc=1, dec=0, bottom_filters=(), filters=(8, 16), head_filters=(),
-            dim=3, name="unet",
+            dim=3, dtype=self.dtype, name="unet",
         )(x, train=train)
-        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="final_conv")(x)
+        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="final_conv")(
+            x.astype(jnp.float32)
+        )
 
 
 class UncertNet(nn.Module):
@@ -234,6 +255,8 @@ class UncertNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        # small net on the (fp32) entropy map; heads stay fp32 — they feed
+        # exp(-w) fusion weights where bf16 would quantize the weighting
         out = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="conv1_conv")(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="conv1_bn")(out)
         out = nn.relu(out)
@@ -248,7 +271,13 @@ class UncertNet(nn.Module):
 
 
 class SingleStage(nn.Module):
-    """One cascade stage (reference: vis_mvsnet_singlestage.py:79-348)."""
+    """One cascade stage (reference: vis_mvsnet_singlestage.py:79-348).
+
+    ``dtype`` selects the compute precision of the 3D regularizers and the
+    cost-volume build; score volumes, soft-argmin, entropy, uncertainty
+    heads and fusion-weight math stay fp32 (mixed-precision template)."""
+
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -284,17 +313,18 @@ class SingleStage(nn.Module):
             else depth_interval_override
         )
 
-        reg = Reg(name="reg")
+        reg = Reg(dtype=self.dtype, name="reg")
         reg_pair = RegPair(name="reg_pair")
-        reg_fuse = RegFuse(name="reg_fuse")
+        reg_fuse = RegFuse(dtype=self.dtype, name="reg_fuse")
         uncert_net = UncertNet(2, name="uncert_net")
 
         # (B, D, h, w, C) reference volume
         ref_vol = jnp.broadcast_to(ref_feat[:, None], (B, depth_num, h, w, C))
 
         pair_results = []
-        fused_interm = jnp.zeros((B, depth_num, h, w, 8), dtype)
-        weight_sum = jnp.zeros((B, 1, h, w, 1), dtype)
+        # fp32 fusion accumulators regardless of compute dtype
+        fused_interm = jnp.zeros((B, depth_num, h, w, 8), jnp.float32)
+        weight_sum = jnp.zeros((B, 1, h, w, 1), jnp.float32)
         min_weight = None
         maxpool_init = True
 
@@ -323,6 +353,10 @@ class SingleStage(nn.Module):
             warped = warped.reshape(B, depth_num, h, w, C)
 
             cost_volume = groupwise_correlation(ref_vol, warped, 8, axis=-1)
+            # depth-hypothesis slabs across the "hyp" mesh axis (no-op
+            # off-mesh): the 3D regs partition over D with halo exchanges,
+            # soft_argmin's softmax lowers to a global max+sum psum
+            cost_volume = constrain(cost_volume, "data", "hyp")
             interm = reg(cost_volume, train=train)  # (B, D, h, w, 8)
             score_volume = reg_pair(interm)[..., 0]  # (B, D, h, w)
             prob_volume, est_depth_class = soft_argmin(score_volume, axis=1, keepdims=True)
@@ -336,6 +370,7 @@ class SingleStage(nn.Module):
 
             # heads[0] is (B, 1, h, w); broadcastable weight for the
             # channel-last volume (B, D, h, w, 8) is (B, 1, h, w, 1).
+            interm = interm.astype(jnp.float32)
             if mode == "soft":
                 weight = jnp.exp(-heads[0])[..., None] * valid
                 weight_sum = weight_sum + weight
@@ -368,6 +403,7 @@ class SingleStage(nn.Module):
             n_valid = sum(v.reshape(B, 1, 1, 1, 1) for v in src_valid)
             fused_interm = fused_interm / n_valid
 
+        fused_interm = constrain(fused_interm, "data", "hyp")
         score_volume = reg_fuse(fused_interm, train=train)[..., 0]  # (B, D, h, w)
         prob_volume, est_depth_class, prob_map = soft_argmin(
             score_volume, axis=1, keepdims=True, window=2

@@ -41,6 +41,11 @@ def _resize_bicubic_x2(depth):
 class CVPMVSNetModule(nn.Module):
     nscale: int = 5
     mode: str = "test"
+    # compute dtype ("float32" | "bfloat16"): bf16 runs the feature
+    # pyramid, warps and 3D regularizer on the MXU's native path; geometry
+    # (hypothesis solve), variance accumulation, softmax/depth regression
+    # and confidence stay fp32 (the robust_mvd mixed-precision template).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, min_depth, max_depth, num_views=None):
@@ -60,7 +65,8 @@ class CVPMVSNetModule(nn.Module):
         K_key, K_srcs = split_key_sources(intrinsics, keyview_idx)
         pose_key, poses_src = split_key_sources(poses, keyview_idx)
 
-        pyramid = FeaturePyramid(name="featurePyramid")
+        cdt = jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
+        pyramid = FeaturePyramid(dtype=cdt, name="featurePyramid")
         ref_fp = pyramid(image_key, self.nscale)
         src_fps = [pyramid(images_src[:, i], self.nscale) for i in range(nsrc)]
 
@@ -71,7 +77,7 @@ class CVPMVSNetModule(nn.Module):
             axis=1,
         )  # (B, nsrc, S, 3, 3)
 
-        cost_reg = CostRegNet(name="cost_reg_refine")
+        cost_reg = CostRegNet(dtype=cdt, name="cost_reg_refine")
 
         # ---- coarsest level: uniform sweep + variance volume --------------
         depth_hypos = cal_sweeping_depth_hypos(min_depth, max_depth, 48)  # (B, 48)
@@ -82,8 +88,10 @@ class CVPMVSNetModule(nn.Module):
         ref_volume = jnp.broadcast_to(
             ref_feat[:, None], (B, D0, h0, w0, ref_feat.shape[-1])
         )
-        volume_sum = ref_volume
-        volume_sq_sum = ref_volume**2
+        # fp32 variance accumulation (E[x^2]-E[x]^2 cancels catastrophically
+        # in bf16)
+        volume_sum = ref_volume.astype(jnp.float32)
+        volume_sq_sum = volume_sum**2
 
         def proj_mat(K, ex):
             top = jnp.einsum("bij,bjk->bik", K, ex[:, :3, :])
@@ -98,7 +106,7 @@ class CVPMVSNetModule(nn.Module):
             warped = rt_planesweep_warp(
                 src_fps[i][-1], proj[:, :3, :3], proj[:, :3, 3], depth_hypos
             )
-            warped = warped * src_valid[:, i].reshape(B, 1, 1, 1, 1)
+            warped = warped.astype(jnp.float32) * src_valid[:, i].reshape(B, 1, 1, 1, 1)
             volume_sum = volume_sum + warped
             volume_sq_sum = volume_sq_sum + warped**2
         count0 = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
@@ -156,8 +164,8 @@ class CVPMVSNetModule(nn.Module):
 
 
 class CVPMVSNet(ModelBase):
-    def __init__(self, nscale=5, weights=None, train=False, seed=0, **_):
-        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test")
+    def __init__(self, nscale=5, weights=None, train=False, seed=0, dtype="float32", **_):
+        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test", dtype=dtype)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 3, 64, 64, 3)),

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops.homography import homo_warp
 from ..ops.reductions import depth_regression
+from ..parallel.context import constrain
 from ..utils import to_numpy
 from ..utils.image import resize_bilinear as np_resize_bilinear
 from .blocks.mvsnet import CostRegNet, FeatureNet
@@ -37,6 +38,18 @@ class MVSNetModule(nn.Module):
     sample_in_inv_depth_space: bool = False
     num_sampling_steps: int = 192
     train_bn: bool = False
+    # view_parallel batches the per-view warps instead of scanning so the
+    # masked variance sums become associative reductions GSPMD can psum
+    # over the "view" mesh axis (SURVEY SS2.10 right column). Off-mesh the
+    # scan is preferred: it keeps one live warped volume instead of V-1.
+    view_parallel: bool = False
+    # compute dtype ("float32" | "bfloat16"): bf16 runs FeatureNet, the
+    # homography warps and the 3D CostRegNet on the MXU's native path;
+    # projection/coordinate math, the variance accumulation (E[x^2]-E[x]^2
+    # is cancellation-prone), BN statistics, the prob head and the
+    # softmax/depth-regression stay fp32 — the robust_mvd mixed-precision
+    # template (models/robust_mvd.py) applied to the family.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None):
@@ -49,6 +62,7 @@ class MVSNetModule(nn.Module):
         B, V, H, W, _ = images.shape
         D = self.num_sampling_steps
         dtype = images.dtype
+        cdt = jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
 
         # depth hypotheses (reference: mvsnet.py:46-74) — linear between the
         # *first sample's* range values, as in the reference (min_depth[0]).
@@ -88,8 +102,8 @@ class MVSNetModule(nn.Module):
         proj_key, proj_src = split_key_sources(proj, keyview_idx)
 
         # featurize all views at once
-        feats = FeatureNet(name="feature")(
-            images.reshape(B * V, H, W, 3), train=self.train_bn
+        feats = FeatureNet(dtype=cdt, name="feature")(
+            images.reshape(B * V, H, W, 3).astype(cdt), train=self.train_bn
         )
         h, w, F = feats.shape[1], feats.shape[2], feats.shape[3]
         feats = feats.reshape(B, V, h, w, F)
@@ -106,32 +120,57 @@ class MVSNetModule(nn.Module):
             src_valid = jnp.ones((B, V - 1), dtype)
 
         ref_volume = jnp.broadcast_to(ref_feats[:, None], (B, D, h, w, F))
-        volume_sum = ref_volume
-        volume_sq_sum = ref_volume**2
 
-        def add_view(carry, view):
-            vsum, vsq = carry
-            src_feat, src_proj, valid = view
-            warped = homo_warp(src_feat, src_proj, proj_key, depth_samples)
-            warped = warped * valid[:, None, None, None, None]
-            return (vsum + warped, vsq + warped**2), None
+        if self.view_parallel:
+            # batched warps + associative masked sums: under a mesh the
+            # "view" axis shards the (B, V-1, D, h, w, F) warped volumes
+            # across chips and the sums become psums over ICI
+            def warp_one(src_feat, src_proj, valid):
+                warped = homo_warp(src_feat, src_proj, proj_key, depth_samples)
+                return warped * valid[:, None, None, None, None]
 
-        (volume_sum, volume_sq_sum), _ = jax.lax.scan(
-            add_view,
-            (volume_sum, volume_sq_sum),
-            (
-                jnp.moveaxis(src_feats, 1, 0),
-                jnp.moveaxis(proj_src, 1, 0),
-                jnp.moveaxis(src_valid, 1, 0),
-            ),
-        )
+            warped_all = jax.vmap(warp_one, in_axes=(1, 1, 1), out_axes=1)(
+                src_feats, proj_src, src_valid
+            )  # (B, V-1, D, h, w, F)
+            warped_all = constrain(warped_all, "data", "view", "hyp")
+            warped32 = warped_all.astype(jnp.float32)
+            volume_sum = ref_volume.astype(jnp.float32) + jnp.sum(warped32, axis=1)
+            volume_sq_sum = ref_volume.astype(jnp.float32) ** 2 + jnp.sum(
+                warped32**2, axis=1
+            )
+        else:
+            volume_sum = ref_volume.astype(jnp.float32)
+            volume_sq_sum = volume_sum**2
+
+            def add_view(carry, view):
+                vsum, vsq = carry
+                src_feat, src_proj, valid = view
+                warped = homo_warp(src_feat, src_proj, proj_key, depth_samples)
+                warped = warped * valid[:, None, None, None, None]
+                warped = warped.astype(jnp.float32)
+                return (vsum + warped, vsq + warped**2), None
+
+            (volume_sum, volume_sq_sum), _ = jax.lax.scan(
+                add_view,
+                (volume_sum, volume_sq_sum),
+                (
+                    jnp.moveaxis(src_feats, 1, 0),
+                    jnp.moveaxis(proj_src, 1, 0),
+                    jnp.moveaxis(src_valid, 1, 0),
+                ),
+            )
         count = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
         volume_variance = volume_sq_sum / count - (volume_sum / count) ** 2
+        # depth-hypothesis slabs across the "hyp" mesh axis: the 3D
+        # regularizer partitions over D with halo exchanges, and the
+        # softmax/expectation over D lowers to a global max+sum psum
+        volume_variance = constrain(volume_variance, "data", "hyp")
 
         # 3D regularization + probability volume
-        cost_reg = CostRegNet(name="cost_regularization")(
-            volume_variance, train=self.train_bn
+        cost_reg = CostRegNet(dtype=cdt, name="cost_regularization")(
+            volume_variance.astype(cdt), train=self.train_bn
         )[..., 0]  # (B, D, h, w)
+        cost_reg = constrain(cost_reg, "data", "hyp")
         prob_volume = jax.nn.softmax(cost_reg, axis=1)
         depth = jnp.sum(prob_volume * depth_samples[:, :, None, None], axis=1)
 
@@ -159,11 +198,13 @@ class MVSNetModule(nn.Module):
 
 
 class MVSNet(ModelBase):
-    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0):
+    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32"):
         module = MVSNetModule(
             sample_in_inv_depth_space=sample_in_inv_depth_space,
             num_sampling_steps=num_sampling_steps,
             train_bn=False,
+            view_parallel=view_parallel,
+            dtype=dtype,
         )
         rng = jax.random.PRNGKey(seed)
         dummy = {

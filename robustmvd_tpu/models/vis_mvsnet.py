@@ -36,6 +36,11 @@ class VisMvsnetModule(nn.Module):
     num_sampling_steps: int = 192
     mode: str = "soft"
     train_bn: bool = False
+    # compute dtype ("float32" | "bfloat16"): bf16 runs FeatExt and the
+    # per-stage 3D regularizers/cost volumes on the MXU's native path;
+    # cam/homography math, score volumes, soft-argmin and fusion weights
+    # stay fp32 (the robust_mvd mixed-precision template).
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range, num_views=None):
@@ -69,7 +74,8 @@ class VisMvsnetModule(nn.Module):
         interval_scales = [4.0, 2.0, 1.0]
 
         # shared feature extraction over all views at once
-        feat1, feat2, feat3 = FeatExt(name="feat_ext")(
+        cdt = jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
+        feat1, feat2, feat3 = FeatExt(dtype=cdt, name="feat_ext")(
             images.reshape(B * V, H, W, 3), train=self.train_bn
         )
 
@@ -91,7 +97,7 @@ class VisMvsnetModule(nn.Module):
         else:
             src_valid = None
 
-        est_depth_1, prob_map_1, pair_results_1 = SingleStage(name="stage1")(
+        est_depth_1, prob_map_1, pair_results_1 = SingleStage(dtype=cdt, name="stage1")(
             ref1, cam_key, srcs1, srcs_cam,
             depth_num=depth_nums[0],
             mode=self.mode,
@@ -108,7 +114,7 @@ class VisMvsnetModule(nn.Module):
             _resize_map(jax.lax.stop_gradient(est_depth_1), size2)
             - depth_nums[1] * depth_interval * interval_scales[1] / 2
         )
-        est_depth_2, prob_map_2, pair_results_2 = SingleStage(name="stage2")(
+        est_depth_2, prob_map_2, pair_results_2 = SingleStage(dtype=cdt, name="stage2")(
             ref2, cam_key, srcs2, srcs_cam,
             depth_num=depth_nums[1],
             mode=self.mode,
@@ -125,7 +131,7 @@ class VisMvsnetModule(nn.Module):
             _resize_map(jax.lax.stop_gradient(est_depth_2), size3)
             - depth_nums[2] * depth_interval * interval_scales[2] / 2
         )
-        est_depth_3, prob_map_3, pair_results_3 = SingleStage(name="stage3")(
+        est_depth_3, prob_map_3, pair_results_3 = SingleStage(dtype=cdt, name="stage3")(
             ref3, cam_key, srcs3, srcs_cam,
             depth_num=depth_nums[2],
             mode=self.mode,
@@ -158,8 +164,8 @@ class VisMvsnetModule(nn.Module):
 
 
 class VisMvsnet(ModelBase):
-    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0):
-        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=False)
+    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32"):
+        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=False, dtype=dtype)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 2, 64, 64, 3)),
