@@ -320,17 +320,25 @@ class MultiViewDepthEvaluation:
         # block_until_ready returns before device work completes (see
         # PARITY.md), which would under-report runtime_model_in_msec — a
         # published benchmark quantity (reference protocol:
-        # multi_view_depth_evaluation.py:549-572). The fetched arrays are
-        # reused below so the device->host copy is not paid twice.
+        # multi_view_depth_evaluation.py:549-572). Only the PRED leaves are
+        # fetched (and reused below): the reference takes end_model before
+        # output_adapter, so converting the aux maps must stay out of
+        # runtime_model — aux leaves remain lazy (LazyNumpyDict) and are
+        # typically never converted at all. Protocol deviation vs the
+        # reference: runtime_model here includes the pred device->host
+        # copy, the minimum needed to force execution on this backend.
         import jax
 
-        leaves, treedef = jax.tree_util.tree_flatten(output)
+        is_pair = isinstance(output, tuple) and len(output) == 2
+        pred_part = output[0] if is_pair else output
+        leaves, treedef = jax.tree_util.tree_flatten(pred_part)
         fetched = [
             np.asarray(leaf) if isinstance(leaf, jax.Array) else leaf
             for leaf in leaves
         ]
         end_model = time.time()
-        output = jax.tree_util.tree_unflatten(treedef, fetched)
+        pred_part = jax.tree_util.tree_unflatten(treedef, fetched)
+        output = (pred_part, output[1]) if is_pair else pred_part
         if hasattr(self.model, "output_adapter"):
             pred, _ = self.model.output_adapter(output)
         else:

@@ -41,9 +41,17 @@ Layout: features are NHWC; the returned correlation volume is (B, H, W, S)
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ablation-only switch (tools/bench_division_ablation.py): replaces the
+# reference-exact coordinate divisions in the pixel-chunk scan with
+# reciprocal-multiply. Read at trace time; never enable in production —
+# it can flip boundary mask bits (see comment at the divide site).
+_RECIP_ABLATION = os.environ.get("RMVD_TPU_CORR_RECIP", "0") == "1"
 
 from .epipolar import EpipolarCoeffs, make_epipolar_coeffs, planesweep_points, sampling_invdepths
 from .sampling import bilinear_sample
@@ -143,7 +151,8 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
 
     # bf16 interpolation storage halves the HBM traffic of the two-hot
     # weights and partial products (the sampling stage is bandwidth-bound);
-    # the MXU still accumulates in fp32. Score error ~1e-3 relative.
+    # the MXU still accumulates in fp32. bf16 sampling costs ~1e-3 relative
+    # score error; fp32 sampling (the default for fp32 features) is exact.
     # bf16 features (mixed-precision model) imply bf16 sampling storage.
     samp_dtype = (
         jnp.bfloat16
@@ -151,6 +160,12 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
         else jnp.float32
     )
     corr_in = corr_img.astype(samp_dtype)
+    # bf16 sampling operands want the native single-pass MXU dot; carrying
+    # a HIGHEST precision config (fp32-features path) onto a bf16 dot would
+    # defeat the bandwidth/IR intent without improving accuracy.
+    samp_precision = (
+        jax.lax.Precision.DEFAULT if samp_dtype == jnp.bfloat16 else precision
+    )
 
     # remat the slab body: without it, autodiff stacks the (B, P, slab, Ws)
     # partial products across all scan steps (x views under vmap) — gigabytes
@@ -169,7 +184,7 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
             corr_in,
             dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=samp_dtype,
-            precision=precision,
+            precision=samp_precision,
         )  # (B, P, slab, Ws)
         # x-contraction fused into the reduce (fp32 accumulation)
         rx = (
@@ -289,10 +304,19 @@ def _corr_pixelscan_fused(
             # true division, matching the reference's per-coordinate divide
             # (planesweep_corr.py:333-349): a reciprocal-then-multiply can be
             # 1 ulp off, enough to flip floor() / the wsum>=0.9999 threshold
-            # on exact pixel/image-boundary coordinates. The divides are not
-            # the bottleneck — the MXU dots are.
-            xx = (u_inf + m_u * ds_b[None, :]) / denom - 0.5
-            yy = (v_inf + m_v * ds_b[None, :]) / denom - 0.5
+            # on exact pixel/image-boundary coordinates. Measured cost of
+            # the divides vs reciprocal-multiply: below run-to-run noise on
+            # v5e at the KITTI bench shape (tools/bench_division_ablation.py;
+            # the r01->r02 134.7->131.3 fps delta did not reproduce) — the
+            # MXU dots dominate. RMVD_TPU_CORR_RECIP=1 selects the
+            # reciprocal path for ablation only.
+            if _RECIP_ABLATION:
+                recip = 1.0 / denom
+                xx = (u_inf + m_u * ds_b[None, :]) * recip - 0.5
+                yy = (v_inf + m_v * ds_b[None, :]) * recip - 0.5
+            else:
+                xx = (u_inf + m_u * ds_b[None, :]) / denom - 0.5
+                yy = (v_inf + m_v * ds_b[None, :]) / denom - 0.5
 
             def fix(a):
                 a = jnp.where(jnp.isinf(a), 1e9 * jnp.sign(a), a)

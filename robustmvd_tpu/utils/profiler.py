@@ -29,14 +29,32 @@ def trace(log_dir):
         jax.profiler.stop_trace()
 
 
+def force_fetch(out):
+    """Force execution of ``out``'s program with a host fetch.
+
+    On the tunneled TPU backend ``block_until_ready`` returns before the
+    device work completes (PARITY.md measurement rule), so timing must be
+    bounded by an actual device->host copy. Device execution is in-order:
+    fetching ONE array of the most recently dispatched program bounds all
+    prior work, so only the first array leaf is copied.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            np.asarray(leaf)
+            return out
+    return out
+
+
 def time_fn(fn, *args, iters=10, burn_in=3, force=None):
     """Steady-state timing of a jitted fn with burn-in samples excluded.
 
     ``force`` converts the output to something whose fetch forces
-    execution; defaults to jax.block_until_ready. Returns seconds/iter.
+    execution; defaults to :func:`force_fetch` (a host copy of one output
+    leaf — NOT block_until_ready, which does not sync on the tunneled
+    backend). Returns seconds/iter.
     """
     if force is None:
-        force = lambda out: jax.block_until_ready(out)
+        force = force_fetch
 
     for _ in range(burn_in):
         force(fn(*args))

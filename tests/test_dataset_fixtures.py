@@ -480,3 +480,57 @@ def test_convert_scannet_sens_end_to_end(tmp_path, rng):
     assert img.shape == (3, 480, 640)
     dep = ScanNetDepth("depth/1.png").load(out_dir)
     np.testing.assert_allclose(dep[0], depths[1] / 1000.0, rtol=1e-6)
+
+
+# --------------------------------------- StaticThings3D full dataset class
+
+
+def test_staticthings3d_dataset_generation(tmp_path, rng):
+    """Drive the full training-dataset machinery: directory scan ->
+
+    seqconf sample generation (C(12,4) offset combinations, keyframes
+    6..15, hard-sample filtering) -> Sample.load -> preprocessing
+    (reference: staticthings3d.py:139-315)."""
+    from tests_common import random_pose_np
+
+    from robustmvd_tpu.data import create_dataset
+    from robustmvd_tpu.data.dataset import _sample_list_path
+
+    seq = tmp_path / "TRAIN" / "A" / "0000"
+    H, W = 16, 24
+    K = np.array([[20, 0, W / 2], [0, 20, H / 2], [0, 0, 1]], np.float32)
+    for fn in range(0, 9):
+        _write_png(
+            str(seq / "frames_cleanpass" / "left" / f"{fn:04d}.png"),
+            (rng.rand(H, W, 3) * 255).astype(np.uint8),
+        )
+        _write_float3(
+            str(seq / "depths" / "left" / f"{fn:04d}.float3"),
+            (rng.rand(H, W) * 30 + 1).astype(np.float32),
+        )
+        _write_float3(str(seq / "intrinsics" / "left" / f"{fn:04d}.float3"), K)
+        _write_float3(
+            str(seq / "poses" / "left" / f"{fn:04d}.float3"), random_pose_np(rng)
+        )
+
+    # the dataset caches its generated sample list into the package dir;
+    # remove it afterwards so other runs regenerate from their own root
+    cache = _sample_list_path("staticthings3d.robust_mvd.mvd")
+    assert not osp.exists(cache), "stale cached ST3D sample list in package"
+    try:
+        # root points at the TRAIN split dir (sequences live at <root>/A/0000)
+        ds = create_dataset(
+            "staticthings3d.robust_mvd.mvd", root=str(tmp_path / "TRAIN"), verbose=False
+        )
+        # frames 0..8, keyframes 6..8 with 4 source offsets in range:
+        # C(8,4) + C(7,4) + C(6,4) = 70 + 35 + 15
+        assert len(ds) == 120, len(ds)
+        out = ds[0]
+        assert len(out["images"]) == 5 and out["images"][0].shape == (3, H, W)
+        assert out["depth"].shape == (1, H, W)
+        assert "invdepth" in out and "depth_range" in out
+        kv = out["keyview_idx"]
+        np.testing.assert_allclose(out["poses"][kv], np.eye(4), atol=1e-5)
+    finally:
+        if osp.exists(cache):
+            os.remove(cache)

@@ -32,16 +32,20 @@ from robustmvd_tpu.models.blocks.dispnet import (
 from robustmvd_tpu.ops.corr import planesweep_correlation
 
 
+from robustmvd_tpu.utils.profiler import force_fetch
+
+
 def timeit(fn, *args, iters=20, burnin=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # execution is forced with a host fetch of one output leaf —
+    # block_until_ready does NOT sync on the tunneled backend (PARITY.md)
+    force_fetch(fn(*args))
     for _ in range(burnin):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force_fetch(out)
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force_fetch(out)
     return (time.perf_counter() - start) / iters * 1e3  # ms
 
 
@@ -91,9 +95,8 @@ def main():
         all_enc, _ = enc.apply({"params": p["encoder"]}, images.reshape(B * V, H, W, 3))
         return {k: v.reshape(B, V, *v.shape[1:]) for k, v in all_enc.items()}
 
-    all_enc = stage_encoder(images)
-    jax.block_until_ready(all_enc)
     t_enc = timeit(stage_encoder, images)
+    all_enc = stage_encoder(images)
     print(f"encoder ({V} views)      {t_enc:8.2f} ms")
 
     conv1_key, _ = split_key_sources(all_enc["conv1"], keyview_idx)
@@ -127,7 +130,6 @@ def main():
         return corrs, masks
 
     corrs, masks = stage_corr(enc_key, enc_sources)
-    jax.block_until_ready((corrs, masks))
     t_corr = timeit(stage_corr, enc_key, enc_sources)
     print(f"planesweep correlation {t_corr:8.2f} ms")
 
@@ -136,7 +138,6 @@ def main():
         return fus.apply({"params": p["fusion_block"]}, corrs, masks)
 
     fused = stage_fusion(corrs, masks)
-    jax.block_until_ready(fused)
     t_fus = timeit(stage_fusion, corrs, masks)
     print(f"learned fusion         {t_fus:8.2f} ms")
 
@@ -147,7 +148,6 @@ def main():
         return cve.apply({"params": p["fusion_enc_block"]}, corr=fused_corr, ctx=ctx)
 
     all_enc_fused, enc_fused = stage_cve(fused_corr, ctx)
-    jax.block_until_ready(enc_fused)
     t_cve = timeit(stage_cve, fused_corr, ctx)
     print(f"costvolume encoder     {t_cve:8.2f} ms")
 
@@ -159,8 +159,6 @@ def main():
             all_enc={"conv1": conv1_key, "conv2": conv2_key, **all_enc_fused},
         )
 
-    d = stage_dec(enc_fused, all_enc_fused, conv1_key, conv2_key)
-    jax.block_until_ready(d)
     t_dec = timeit(stage_dec, enc_fused, all_enc_fused, conv1_key, conv2_key)
     print(f"decoder                {t_dec:8.2f} ms")
 
