@@ -534,3 +534,103 @@ def test_staticthings3d_dataset_generation(tmp_path, rng):
     finally:
         if osp.exists(cache):
             os.remove(cache)
+
+
+def test_blendedmvs_dataset_generation(tmp_path, rng):
+    """Drive the full BlendedMVS training-dataset machinery: scene scan ->
+
+    pair.txt top-4 source combinations -> every-2nd-sample 'small' split ->
+    Sample.load (reference: blendedmvs.py:293-468)."""
+    from tests_common import random_pose_np
+
+    from robustmvd_tpu.data import create_dataset
+    from robustmvd_tpu.data.blendedmvs import BMVS_TRAIN_SCENES
+    from robustmvd_tpu.data.dataset import _sample_list_path
+
+    scene = BMVS_TRAIN_SCENES[0]  # the split filters to the real scene list
+    base = tmp_path / scene
+    H, W = 16, 24
+    view_ids = list(range(5))
+    for v in view_ids:
+        _write_jpg(
+            str(base / "blended_images" / f"{v:08d}_masked.jpg"),
+            (rng.rand(H, W, 3) * 255).astype(np.uint8),
+        )
+        _write_cam_txt(
+            str(base / "cams" / f"{v:08d}_cam.txt"),
+            random_pose_np(rng),
+            np.array([[20, 0, W / 2], [0, 20, H / 2], [0, 0, 1]], np.float32),
+            depth_line="0.8 0.01 128 2.08",
+        )
+        _write_pfm(
+            str(base / "rendered_depth_maps" / f"{v:08d}.pfm"),
+            (rng.rand(H, W) * 2 + 0.8).astype(np.float32),
+        )
+    with open(base / "cams" / "pair.txt", "w") as f:
+        f.write("2\n")
+        f.write("0\n4 1 9.0 2 8.0 3 7.0 4 6.0\n")
+        f.write("1\n4 0 9.0 2 8.0 3 7.0 4 6.0\n")
+
+    cache = _sample_list_path("blendedmvs.robust_mvd.mvd")
+    assert not osp.exists(cache), "stale cached BlendedMVS sample list"
+    try:
+        ds = create_dataset(
+            "blendedmvs.robust_mvd.mvd", root=str(tmp_path), verbose=False
+        )
+        # 2 keys x C(10,4) padded-source combos = 420, every 2nd -> 210
+        assert len(ds) == 210, len(ds)
+        out = ds[0]
+        assert len(out["images"]) == 5
+        assert out["images"][0].shape == (3, H, W)
+        assert out["depth"].shape == (1, H, W)
+        assert out["depth_range"][0] > 0
+        assert "invdepth" in out
+    finally:
+        if osp.exists(cache):
+            os.remove(cache)
+
+
+def test_flyingthings3d_dataset_generation(tmp_path, rng):
+    """FT3D training dataset: sequence scan, npy calib, PFM disparity ->
+
+    depth = 1050 / -disparity with negative/inf scrub
+    (reference: flyingthings3d.py:803-1034)."""
+    from tests_common import random_pose_np
+
+    from robustmvd_tpu.data import create_dataset
+    from robustmvd_tpu.data.dataset import _sample_list_path
+
+    seq = tmp_path / "TRAIN" / "A" / "0000"
+    H, W = 16, 24
+    K = np.array([[1050, 0, W / 2], [0, 1050, H / 2], [0, 0, 1]], np.float32)
+    for fn in range(0, 9):
+        _write_png(
+            str(seq / "frames_cleanpass" / "left" / f"{fn:04d}.png"),
+            (rng.rand(H, W, 3) * 255).astype(np.uint8),
+        )
+        disp = -(rng.rand(H, W) * 50 + 10).astype(np.float32)  # negative convention
+        if fn == 6:
+            disp[0, 0] = 0.0  # -> inf depth -> scrubbed to 0
+        _write_pfm(str(seq / "disparities" / "left" / f"{fn:04d}.pfm"), disp)
+        os.makedirs(seq / "intrinsics" / "left", exist_ok=True)
+        os.makedirs(seq / "poses" / "left", exist_ok=True)
+        np.save(str(seq / "intrinsics" / "left" / f"{fn:04d}.npy"), K)
+        np.save(str(seq / "poses" / "left" / f"{fn:04d}.npy"), random_pose_np(rng))
+
+    cache = _sample_list_path("flyingthings3d.robust_mvd.mvd")
+    assert not osp.exists(cache), "stale cached FT3D sample list"
+    try:
+        ds = create_dataset(
+            "flyingthings3d.robust_mvd.mvd", root=str(tmp_path / "TRAIN"), verbose=False
+        )
+        assert len(ds) > 0
+        out = ds[0]
+        assert len(out["images"]) == 5
+        assert out["depth"].shape == (1, H, W)
+        # depth = 1050/-disp is positive; the zero-disparity pixel scrubbed
+        key_depths = out["depth"][out["depth"] > 0]
+        assert key_depths.size > 0 and (key_depths < 1050 / 10 + 1).all()
+        assert "invdepth" in out
+    finally:
+        if osp.exists(cache):
+            os.remove(cache)
