@@ -129,8 +129,9 @@ def _corr_matmul(feat_key, feat_src, us, vs, vis_mask, precision=None, use_palla
         return _finish_corr(out, feat_key, vis_mask, x0i, y0i, wx, wy, B, H, W, S, Hs, Ws)
 
     # slab_size=128 fills the MXU's M dimension in the per-slab dot
-    # (measured on v5e at KITTI eval shape: slab 64 -> 18.3 ms/frame full
-    # forward, 128 -> 10.3 ms, 256 -> 10.7). This impl is kept as an
+    # (round-1 measurements on v5e at KITTI eval shape: slab 64 -> 18.3
+    # ms/frame full forward, 128 -> 10.3 ms, 256 -> 10.7; current headline
+    # numbers live in PARITY.md / BENCH_r*.json). This impl is kept as an
     # oracle/ablation path; "pixelscan" supersedes it as the default.
     slab = S
     for cand in (slab_size, 128, 64, 32, 16, 8, 4, 2, 1):
