@@ -235,3 +235,73 @@ def test_engine_parity_median_alignment_resized_gt(reference, models):
     )
 
     _assert_results_match(ref_results, my_results)
+
+
+@pytest.mark.slow
+def test_robust_mvd_benchmark_loop_parity(reference, models, monkeypatch):
+    """The 5-dataset benchmark loop + aggregation: both frameworks'
+
+    RobustMultiViewDepthBenchmark run over the same (synthetic) datasets
+    injected per benchmark name; the (dataset, num_views, metric)
+    results frame and the means over the "best" columns must match
+    (reference: rmvd/eval/robust_mvd_benchmark.py:128-247)."""
+    import rmvd.eval.robust_mvd_benchmark as ref_bench_mod
+
+    import robustmvd_tpu.data as tpu_data
+    from robustmvd_tpu.eval.robust_mvd_benchmark import (
+        RobustMultiViewDepthBenchmark as TpuBench,
+    )
+
+    tmodel, jmodel = models
+
+    datasets = {}
+
+    def get_dataset(name):
+        if name not in datasets:
+            # deterministic per-name content; 2 source views
+            seed_base = abs(hash(name)) % 1000
+            ds = _make_dataset(num_samples=3, num_views=3, height=64, width=64)
+            for i, s in enumerate(ds.samples):
+                s.seed = seed_base + i
+            datasets[name] = ds
+        return datasets[name]
+
+    def ref_create_dataset(dataset_name_or_path=None, dataset_type=None, input_size=None, **_):
+        assert input_size is None
+        return _RefDatasetShim(get_dataset(dataset_name_or_path))
+
+    def tpu_create_dataset(dataset_name_or_path=None, dataset_type=None, input_size=None, **_):
+        assert input_size is None
+        return get_dataset(dataset_name_or_path)
+
+    monkeypatch.setattr(ref_bench_mod, "create_dataset", ref_create_dataset)
+    monkeypatch.setattr(tpu_data, "create_dataset", tpu_create_dataset)
+
+    kwargs = dict(
+        inputs=["images", "poses", "intrinsics"],
+        alignment=None,
+        view_ordering="nearest",
+        eval_uncertainty=False,
+        sparse_pred=False,
+        verbose=False,
+    )
+    import torch
+
+    with torch.no_grad():
+        ref_results = ref_bench_mod.RobustMultiViewDepthBenchmark(**kwargs)(
+            model=tmodel, eth3d_size=None, qualitatives=None
+        )
+    my_results = TpuBench(**kwargs)(model=jmodel, eth3d_size=None, qualitatives=None)
+
+    _assert_results_match(ref_results, my_results)
+
+    # the published quantity: per-metric means over each dataset's "best"
+    ref_best = _comparable(
+        ref_results.loc[:, (slice(None), "best")].droplevel(level=1, axis=1)
+    ).mean()
+    my_best = _comparable(
+        my_results.loc[:, (slice(None), "best")].droplevel(level=1, axis=1)
+    ).mean()[ref_best.index]
+    np.testing.assert_allclose(
+        my_best.to_numpy(np.float64), ref_best.to_numpy(np.float64), rtol=5e-3, atol=2e-2
+    )
