@@ -306,11 +306,13 @@ def _corr_pixelscan_fused(
             # (planesweep_corr.py:333-349): a reciprocal-then-multiply can be
             # 1 ulp off, enough to flip floor() / the wsum>=0.9999 threshold
             # on exact pixel/image-boundary coordinates. Measured cost of
-            # the divides vs reciprocal-multiply: below run-to-run noise on
-            # v5e at the KITTI bench shape (tools/bench_division_ablation.py;
-            # the r01->r02 134.7->131.3 fps delta did not reproduce) — the
-            # MXU dots dominate. RMVD_TPU_CORR_RECIP=1 selects the
-            # reciprocal path for ablation only.
+            # the divides vs reciprocal-multiply (isolated op, v5e, KITTI
+            # shape, bf16): 15.18 vs 15.14 ms/view — a 0.2% delta below the
+            # 0.3% division-vs-division rerun noise; the r01->r02
+            # 134.7->131.3 fps drop did not reproduce in round 3 (134.4
+            # with divisions) and was environment noise. The MXU dots
+            # dominate. RMVD_TPU_CORR_RECIP=1 selects the reciprocal path
+            # for ablation only (tools/bench_division_ablation.py).
             if _RECIP_ABLATION:
                 recip = 1.0 / denom
                 xx = (u_inf + m_u * ds_b[None, :]) * recip - 0.5
