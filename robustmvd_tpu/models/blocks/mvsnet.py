@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.conv3d import conv3d_op
+
 
 class ConvBnReLU(nn.Module):
     """Conv2d(bias=False) + BN + ReLU (reference: mvsnet_components.py:8-22)."""
@@ -47,26 +49,39 @@ class ConvBnReLU(nn.Module):
 class ConvBnReLU3D(nn.Module):
     """Conv3d(bias=False) + BN + ReLU (reference: mvsnet_components.py:25-41).
 
-    Input (B, D, H, W, C)."""
+    Input (B, D, H, W, C). ``conv3d_impl`` selects the stride-1 conv
+    lowering: "xla" (direct) or "banded"/"packed" (lane-packed dot, see
+    ops/conv3d.py) — parameters are identical either way."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     pad: int = 1
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         k, s, p = self.kernel_size, self.stride, self.pad
-        x = nn.Conv(
-            self.features,
-            kernel_size=(k, k, k),
-            strides=(s, s, s),
-            padding=((p, p), (p, p), (p, p)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if k == 3 and s == 1 and p == 1:
+            conv = conv3d_op(
+                self.features,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+                impl=self.conv3d_impl,
+            )
+        else:
+            conv = nn.Conv(
+                self.features,
+                kernel_size=(k, k, k),
+                strides=(s, s, s),
+                padding=((p, p), (p, p), (p, p)),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )
+        x = conv(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -144,18 +159,20 @@ class CostRegNet(nn.Module):
     (reference: mvsnet_components.py:69-123). Input (B, D, h, w, 32)."""
 
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         dt = self.dtype
-        conv0 = ConvBnReLU3D(8, dtype=dt, name="conv0")(x, train)
-        conv2 = ConvBnReLU3D(16, dtype=dt, name="conv2")(
+        impl = self.conv3d_impl
+        conv0 = ConvBnReLU3D(8, dtype=dt, conv3d_impl=impl, name="conv0")(x, train)
+        conv2 = ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv2")(
             ConvBnReLU3D(16, stride=2, dtype=dt, name="conv1")(conv0, train), train
         )
-        conv4 = ConvBnReLU3D(32, dtype=dt, name="conv4")(
+        conv4 = ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv4")(
             ConvBnReLU3D(32, stride=2, dtype=dt, name="conv3")(conv2, train), train
         )
-        x = ConvBnReLU3D(64, dtype=dt, name="conv6")(
+        x = ConvBnReLU3D(64, dtype=dt, conv3d_impl=impl, name="conv6")(
             ConvBnReLU3D(64, stride=2, dtype=dt, name="conv5")(conv4, train), train
         )
         x = conv4 + DeconvBnReLU3D(32, dtype=dt, name="conv7")(x, train)
@@ -163,7 +180,7 @@ class CostRegNet(nn.Module):
         x = conv0 + DeconvBnReLU3D(8, dtype=dt, name="conv11")(x, train)
         # prediction head in fp32 (the robust_mvd template keeps heads full
         # precision; the softmax downstream is fp32 regardless)
-        x = nn.Conv(1, kernel_size=(3, 3, 3), padding=((1, 1), (1, 1), (1, 1)), name="prob")(
+        x = conv3d_op(1, use_bias=True, dtype=jnp.float32, name="prob", impl=impl)(
             x.astype(jnp.float32)
         )
         return x

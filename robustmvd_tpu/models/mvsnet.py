@@ -50,6 +50,9 @@ class MVSNetModule(nn.Module):
     # softmax/depth-regression stay fp32 — the robust_mvd mixed-precision
     # template (models/robust_mvd.py) applied to the family.
     dtype: str = "float32"
+    # 3x3x3 stride-1 conv lowering inside CostRegNet: "xla" or the
+    # lane-packed "banded"/"packed" (ops/conv3d.py) — same parameters
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None):
@@ -167,7 +170,7 @@ class MVSNetModule(nn.Module):
         volume_variance = constrain(volume_variance, "data", "hyp")
 
         # 3D regularization + probability volume
-        cost_reg = CostRegNet(dtype=cdt, name="cost_regularization")(
+        cost_reg = CostRegNet(dtype=cdt, conv3d_impl=self.conv3d_impl, name="cost_regularization")(
             volume_variance.astype(cdt), train=self.train_bn
         )[..., 0]  # (B, D, h, w)
         cost_reg = constrain(cost_reg, "data", "hyp")
@@ -198,13 +201,14 @@ class MVSNetModule(nn.Module):
 
 
 class MVSNet(ModelBase):
-    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32"):
+    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="xla"):
         module = MVSNetModule(
             sample_in_inv_depth_space=sample_in_inv_depth_space,
             num_sampling_steps=num_sampling_steps,
             train_bn=False,
             view_parallel=view_parallel,
             dtype=dtype,
+            conv3d_impl=conv3d_impl,
         )
         rng = jax.random.PRNGKey(seed)
         dummy = {

@@ -1,0 +1,188 @@
+"""Lane-packed 3D convolution for small-channel volumes.
+
+The MVSNet-family cost regularizers are 3D U-Nets over (B, D, H, W, C)
+volumes with C = 8..64 (reference: rmvd/models/blocks/mvsnet_components.py
+:25-41, 69-123). On TPU the channel dim maps to the 128-wide lane
+dimension, so XLA's direct conv runs with 2-16x lane padding on BOTH
+matmul operands and the regularizers measure <1% MFU (PARITY.md family
+note) — lane-bound, not FLOP- or HBM-bound.
+
+This module reformulates the k=3, stride-1, pad-1 conv as a dot_general
+whose output lanes are W-PACKED: a spatial tile of T output columns and
+all Cout channels live together in the lane dim (T*Cout lanes), so every
+output lane is useful. Two packings:
+
+- block-diagonal ("packed"): 27 pre-shifted packed views of the input,
+  contracted with (27, T*Cin, T*Cout) block-diagonal tap matrices. K
+  density 1/T.
+- banded ("banded"): overlapping (T+2)-column windows and 9 (dz, dy)
+  taps; the three x-taps become a banded ((T+2)*Cin, T*Cout) matrix. K
+  density 3/(T+2) — ~3x denser than block-diagonal for the same T.
+
+The tap matrices are formed from the dense (3,3,3,Cin,Cout) kernel at
+apply time with Kronecker products against constant selection masks —
+O(T^2*Cin*Cout) work, trivial next to the conv — so parameters, their
+names, and checkpoints are IDENTICAL to the nn.Conv path and torch weight
+conversion is unchanged.
+
+Numerics: the dot_general accumulates in fp32 (preferred_element_type),
+matching the MXU's native single-pass conv accumulation; the packed paths
+are exact reorderings of the same sums (fp32 parity ~1e-6, tested against
+the lax.conv oracle in tests/test_conv3d_packed.py).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tile_for(cin: int, cout: int, width: int) -> int:
+    """Default spatial tile: fill the 128-lane dim on the wider side."""
+    t = max(1, 128 // max(cin, cout))
+    return min(t, width)
+
+
+def _kron_eye(kernel, tile):
+    """(3,3,3,Ci,Co) -> (27, T*Ci, T*Co) block-diagonal tap matrices."""
+    k = kernel.reshape(27, kernel.shape[3], kernel.shape[4])
+    eye = jnp.eye(tile, dtype=kernel.dtype)
+    # kron(eye, k[tap]) for every tap at once
+    return (eye[None, :, None, :, None] * k[:, None, :, None, :]).reshape(
+        27, tile * kernel.shape[3], tile * kernel.shape[4]
+    )
+
+
+def _band_masks(tile: int) -> np.ndarray:
+    """Constant (3, T+2, T) selectors: E[dx, t+dx, t] = 1."""
+    E = np.zeros((3, tile + 2, tile), np.float32)
+    for dx in range(3):
+        for t in range(tile):
+            E[dx, t + dx, t] = 1.0
+    return E
+
+
+def _kron_band(kernel, tile):
+    """(3,3,3,Ci,Co) -> (9, (T+2)*Ci, T*Co) banded tap matrices."""
+    ci, co = kernel.shape[3], kernel.shape[4]
+    E = jnp.asarray(_band_masks(tile), kernel.dtype)  # (3, T+2, T)
+    # M[dzdy] = sum_dx kron(E[dx], kernel[dz,dy,dx])
+    k = kernel.reshape(9, 3, ci, co)  # (dzdy, dx, ci, co)
+    M = jnp.einsum("xjt,gxio->gjito", E, k, optimize=True)
+    return M.reshape(9, (tile + 2) * ci, tile * co)
+
+
+def conv3d_packed(x, kernel, *, tile=None, banded=True):
+    """k=3 / stride-1 / pad-1 3D conv, NDHWC, via lane-packed dot_general.
+
+    Exact reordering of ``lax.conv_general_dilated(x, kernel, (1,1,1),
+    ((1,1),)*3, NDHWC/DHWIO)`` with fp32 accumulation.
+
+    Args:
+      x: (B, D, H, W, Cin).
+      kernel: (3, 3, 3, Cin, Cout).
+      tile: output columns packed per lane group (default: 128/max(C)).
+      banded: use the banded windows (denser contraction) instead of the
+        block-diagonal packing.
+    """
+    B, D, H, W, C = x.shape
+    Co = kernel.shape[-1]
+    T = tile or _tile_for(C, Co, W)
+    Wp = -(-W // T) * T
+    Wt = Wp // T
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1 + Wp - W), (0, 0)))
+
+    if banded:
+        M = _kron_band(kernel, tile=T).astype(x.dtype)
+        wins = jnp.stack(
+            [
+                xp[:, :, :, i * T : i * T + T + 2, :].reshape(
+                    B, D + 2, H + 2, (T + 2) * C
+                )
+                for i in range(Wt)
+            ],
+            axis=-2,
+        )  # (B, D+2, H+2, Wt, (T+2)*C)
+        lhs = jnp.stack(
+            [wins[:, dz : dz + D, dy : dy + H] for dz in range(3) for dy in range(3)],
+            axis=-2,
+        )  # (B, D, H, Wt, 9, (T+2)*C)
+    else:
+        M = _kron_eye(kernel, tile=T).astype(x.dtype)
+        lhs = jnp.stack(
+            [
+                xp[:, dz : dz + D, dy : dy + H, dx : dx + Wp, :].reshape(
+                    B, D, H, Wt, T * C
+                )
+                for dz in range(3)
+                for dy in range(3)
+                for dx in range(3)
+            ],
+            axis=-2,
+        )  # (B, D, H, Wt, 27, T*C)
+
+    out = jax.lax.dot_general(
+        lhs, M, (((4, 5), (0, 1)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out = out.reshape(B, D, H, Wp, Co)[:, :, :, :W]
+    return out.astype(x.dtype)
+
+
+class Conv3dPacked(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3,3,3), padding=1)`` on NDHWC input.
+
+    Same parameter names/shapes ("kernel", optional "bias") and
+    initializers as flax's nn.Conv, so checkpoints and the torch weight
+    converter are oblivious to which implementation a model uses.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: object = jnp.float32
+    tile: int | None = None
+    banded: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, x.shape[-1], self.features),
+        )
+        y = conv3d_packed(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            tile=self.tile,
+            banded=self.banded,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def conv3d_op(features, *, use_bias, dtype, name, impl="xla", tile=None):
+    """Factory: the family blocks pick their 3x3x3 stride-1 conv impl here.
+
+    impl='xla' keeps flax nn.Conv (direct lowering); impl='packed'/'banded'
+    returns the lane-packed module with identical parameters.
+    """
+    if impl == "xla":
+        return nn.Conv(
+            features,
+            kernel_size=(3, 3, 3),
+            padding=((1, 1), (1, 1), (1, 1)),
+            use_bias=use_bias,
+            dtype=dtype,
+            name=name,
+        )
+    return Conv3dPacked(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        tile=tile,
+        banded=(impl == "banded"),
+        name=name,
+    )
