@@ -80,3 +80,31 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
             process_id=process_id,
         )
     jax.distributed.initialize(**kwargs)
+
+
+def init_distributed_from_env(environ=None):
+    """Multi-host init from the launcher's environment contract.
+
+    ``launch.py`` (and any scheduler template) exports
+    ``RMVD_TPU_COORDINATOR`` / ``RMVD_TPU_NUM_PROCESSES`` /
+    ``RMVD_TPU_PROCESS_ID`` per host; the CLIs call this once at startup.
+    No-op when the coordinator variable is unset (single-process, or a
+    Cloud TPU pod where ``jax.distributed.initialize`` autodetects — pass
+    ``RMVD_TPU_DIST_AUTO=1`` to request autodetection explicitly).
+
+    Returns True if initialization ran.
+    """
+    import os
+
+    env = os.environ if environ is None else environ
+    if env.get("RMVD_TPU_COORDINATOR"):
+        init_distributed(
+            coordinator_address=env["RMVD_TPU_COORDINATOR"],
+            num_processes=int(env.get("RMVD_TPU_NUM_PROCESSES", "1")),
+            process_id=int(env.get("RMVD_TPU_PROCESS_ID", "0")),
+        )
+        return True
+    if env.get("RMVD_TPU_DIST_AUTO"):
+        init_distributed()
+        return True
+    return False

@@ -99,11 +99,19 @@ class MultiViewDepthTraining:
         self.log_loss_interval = log_loss_interval
         self.save_checkpoint_interval_min = save_checkpoint_interval_min
 
+        # multi-host: every process runs its own loader over the full
+        # dataset with a process-distinct shuffle seed, and each local
+        # batch becomes that process's shard of the global batch (see
+        # _make_train_step); single-process keeps the global-RNG shuffle
+        loader_seed = (
+            None if jax.process_count() == 1 else 7919 * (jax.process_index() + 1)
+        )
         self.dataloader = self.dataset.get_loader(
             batch_size=batch_size,
             shuffle=True,
             num_workers=num_workers,
             drop_last=True,
+            seed=loader_seed,
         )
 
         # optax transform (clip + optimizer + schedule in one chain)
@@ -204,8 +212,20 @@ class MultiViewDepthTraining:
             repl = NamedSharding(mesh, P())
             batched = NamedSharding(mesh, P("data"))
 
+            multi_process = jax.process_count() > 1
+
             def shard_batch(x):
-                return jax.device_put(x, batched) if hasattr(x, "ndim") and x.ndim > 0 else x
+                if not (hasattr(x, "ndim") and x.ndim > 0):
+                    return x
+                if multi_process:
+                    # each process contributes its local batch as one shard
+                    # of the global batch (global B = local B * processes);
+                    # device_put of host-local values to a global sharding
+                    # would instead assert identical data on every process
+                    return jax.make_array_from_process_local_data(
+                        batched, np.asarray(x)
+                    )
+                return jax.device_put(x, batched)
 
             jitted = jax.jit(
                 step_fn,
@@ -371,15 +391,21 @@ class MultiViewDepthTraining:
     # ------------------------------------------------------------------
 
     def _save_all(self):
+        # the train state is fully replicated, so on multi-host setups
+        # process 0 alone writes the checkpoint (two uncoordinated orbax
+        # writers racing on the same snapshot path would corrupt it)
+        if jax.process_index() != 0:
+            return
         state = jax.device_get(self.state)
         path = self.saver_all.save(state, self.finished_iterations)
         logging.info(f"Saved checkpoint {path}.")
 
     def _write_checkpoints(self):
         self._save_all()
-        self.saver_weights_only.save(
-            jax.device_get(self.state["variables"]), self.finished_iterations
-        )
+        if jax.process_index() == 0:
+            self.saver_weights_only.save(
+                jax.device_get(self.state["variables"]), self.finished_iterations
+            )
         # keep model variables in sync for subsequent evaluation
         self.model.variables = jax.device_get(self.state["variables"])
 

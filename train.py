@@ -39,6 +39,16 @@ def set_random_seed(seed):
 
 
 def train(args):
+    # multi-host: launch.py runs this same command on each host with the
+    # RMVD_TPU_COORDINATOR / RMVD_TPU_NUM_PROCESSES / RMVD_TPU_PROCESS_ID
+    # contract exported (or RMVD_TPU_DIST_AUTO=1 on autodetecting pods).
+    # MUST run before anything touches the backend (set_random_seed /
+    # create_model initialize XLA) — jax.distributed.initialize refuses
+    # to run after backend init.
+    from robustmvd_tpu.parallel.mesh import init_distributed_from_env
+
+    init_distributed_from_env()
+
     set_random_seed(args.seed)
     force_platform(args.platform)
 
@@ -102,17 +112,6 @@ def train(args):
     optimizer = create_optimizer(name=args.optimizer, model=model, lr=args.lr)
     scheduler = create_scheduler(name=args.scheduler, optimizer=optimizer)
     loss = create_loss(name=args.loss, model=model)
-
-    # multi-host: each host runs this same command with
-    # RMVD_TPU_COORDINATOR / RMVD_TPU_NUM_PROCESSES / RMVD_TPU_PROCESS_ID set
-    if os.environ.get("RMVD_TPU_COORDINATOR"):
-        from robustmvd_tpu.parallel.mesh import init_distributed
-
-        init_distributed(
-            coordinator_address=os.environ["RMVD_TPU_COORDINATOR"],
-            num_processes=int(os.environ.get("RMVD_TPU_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("RMVD_TPU_PROCESS_ID", "0")),
-        )
 
     mesh = None
     if args.data_parallel:
