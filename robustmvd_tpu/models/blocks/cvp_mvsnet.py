@@ -13,6 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.conv3d import conv3d_op
+
 from ...ops.homography import rt_planesweep_warp
 
 
@@ -66,13 +68,21 @@ class ConvBnReLU3D(nn.Module):
     features: int
     stride: int = 1
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(
-            self.features, (3, 3, 3), strides=(self.stride,) * 3,
-            padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype, name="conv",
-        )(x)
+        if self.stride == 1:
+            conv = conv3d_op(
+                self.features, use_bias=False, dtype=self.dtype, name="conv",
+                impl=self.conv3d_impl,
+            )
+        else:
+            conv = nn.Conv(
+                self.features, (3, 3, 3), strides=(self.stride,) * 3,
+                padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype, name="conv",
+            )
+        x = conv(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -112,21 +122,22 @@ class CostRegNet(nn.Module):
     output (B, D, h, w) logits."""
 
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         dt = self.dtype
-        x = x.astype(dt)
-        conv0 = ConvBnReLU3D(16, dtype=dt, name="conv0a")(ConvBnReLU3D(16, dtype=dt, name="conv0")(x, train), train)
-        conv2 = ConvBnReLU3D(32, dtype=dt, name="conv2a")(
-            ConvBnReLU3D(32, dtype=dt, name="conv2")(
+        impl = self.conv3d_impl
+        conv0 = ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv0a")(ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv0")(x.astype(dt), train), train)
+        conv2 = ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv2a")(
+            ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv2")(
                 ConvBnReLU3D(32, stride=2, dtype=dt, name="conv1")(conv0, train), train
             ),
             train,
         )
-        conv4 = ConvBnReLU3D(64, dtype=dt, name="conv4a")(
-            ConvBnReLU3D(64, dtype=dt, name="conv4")(
-                ConvBnReLU3D(64, dtype=dt, name="conv3")(conv2, train), train
+        conv4 = ConvBnReLU3D(64, dtype=dt, conv3d_impl=impl, name="conv4a")(
+            ConvBnReLU3D(64, dtype=dt, conv3d_impl=impl, name="conv4")(
+                ConvBnReLU3D(64, dtype=dt, conv3d_impl=impl, name="conv3")(conv2, train), train
             ),
             train,
         )
@@ -137,7 +148,7 @@ class CostRegNet(nn.Module):
         up6 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="conv6_bn")(up6)
         conv6 = conv0 + nn.relu(up6)
         # prediction head in fp32 (feeds the softmax/depth regression)
-        prob = nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, name="prob0")(conv6.astype(jnp.float32))
+        prob = conv3d_op(1, use_bias=True, dtype=jnp.float32, name="prob0", impl=impl)(conv6.astype(jnp.float32))
         return prob[..., 0]
 
 

@@ -165,7 +165,11 @@ class CostRegNet(nn.Module):
     def __call__(self, x, train=False):
         dt = self.dtype
         impl = self.conv3d_impl
-        conv0 = ConvBnReLU3D(8, dtype=dt, conv3d_impl=impl, name="conv0")(x, train)
+        # conv0 (32->8 at full res) stays on the direct lowering: XLA
+        # already hits 1.9% MFU there and the banded dot measured no win
+        # (tools/bench_conv3d_strategies.py) — the packed impls pay off on
+        # the C<=16 layers and the prob head (1.5-2.5x)
+        conv0 = ConvBnReLU3D(8, dtype=dt, conv3d_impl="xla", name="conv0")(x, train)
         conv2 = ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv2")(
             ConvBnReLU3D(16, stride=2, dtype=dt, name="conv1")(conv0, train), train
         )

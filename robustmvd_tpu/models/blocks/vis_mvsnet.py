@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.conv3d import conv3d_op
+
 from ...ops.homography import get_homographies, homography_warping
 from ...ops.interpolate import resize_bilinear
 from ...ops.reductions import entropy, groupwise_correlation, soft_argmin
@@ -37,7 +39,13 @@ def scale_camera(cam, scale):
     return jnp.stack([cam[:, 0], cam[:, 1] * mult], axis=1)
 
 
-def _conv(features, k, s, dim, name, dtype=jnp.float32):
+def _conv(features, k, s, dim, name, dtype=jnp.float32, conv3d_impl="xla"):
+    if dim == 3 and k == 3 and s == 1 and conv3d_impl != "xla":
+        # lane-packed lowering for the small-channel 3D convs
+        # (ops/conv3d.py) — identical parameters to nn.Conv
+        return conv3d_op(
+            features, use_bias=False, dtype=dtype, name=name, impl=conv3d_impl
+        )
     pad = ((k // 2, k // 2),) * dim
     return nn.Conv(
         features,
@@ -68,15 +76,17 @@ class BasicBlock(nn.Module):
     use_downsample: bool = False
     dim: int = 2
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         dt = self.dtype
+        impl = self.conv3d_impl
         residual = x
-        out = _conv(self.planes, 3, self.stride, self.dim, "conv1", dt)(x)
+        out = _conv(self.planes, 3, self.stride, self.dim, "conv1", dt, impl)(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, self.dim, "conv2", dt)(out)
+        out = _conv(self.planes, 3, 1, self.dim, "conv2", dt, impl)(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn2")(out)
         if self.use_downsample:
             residual = _conv(self.planes, 1, self.stride, self.dim, "downsample_conv", dt)(x)
@@ -95,16 +105,20 @@ class ResLayer(nn.Module):
     in_planes: int = -1
     dim: int = 2
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         needs_down = self.stride != 1 or x.shape[-1] != self.planes
         x = BasicBlock(
             self.planes, self.stride, use_downsample=needs_down, dim=self.dim,
-            dtype=self.dtype, name="block0"
+            dtype=self.dtype, conv3d_impl=self.conv3d_impl, name="block0"
         )(x, train)
         for i in range(1, self.blocks):
-            x = BasicBlock(self.planes, 1, dim=self.dim, dtype=self.dtype, name=f"block{i}")(x, train)
+            x = BasicBlock(
+                self.planes, 1, dim=self.dim, dtype=self.dtype,
+                conv3d_impl=self.conv3d_impl, name=f"block{i}"
+            )(x, train)
         return x
 
 
@@ -150,20 +164,22 @@ class UNet(nn.Module):
     head_filters: Sequence[int]
     dim: int = 2
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, multi_scale=1, train=False):
         dt = self.dtype
+        impl = self.conv3d_impl
         idx = 0
         for f in self.bottom_filters:
             stride = 1 if idx == 0 else 2
-            x = ResLayer(f, self.enc, stride, dim=self.dim, dtype=dt, name=f"bottom_{idx}")(x, train)
+            x = ResLayer(f, self.enc, stride, dim=self.dim, dtype=dt, conv3d_impl=impl, name=f"bottom_{idx}")(x, train)
             idx += 1
 
         enc_out = []
         for f in self.filters:
             stride = 1 if idx == 0 else 2
-            x = ResLayer(f, self.enc, stride, dim=self.dim, dtype=dt, name=f"enc_{idx}")(x, train)
+            x = ResLayer(f, self.enc, stride, dim=self.dim, dtype=dt, conv3d_impl=impl, name=f"enc_{idx}")(x, train)
             enc_out.append(x)
             idx += 1
 
@@ -171,16 +187,16 @@ class UNet(nn.Module):
         for i, f in enumerate(self.filters[-2::-1]):
             x = TorchDeconv(f, dim=self.dim, dtype=dt, name=f"dec_{idx}_deconv")(x)
             x = jnp.concatenate([x, enc_out[-2 - i].astype(x.dtype)], axis=-1)
-            x = _conv(f, 3, 1, self.dim, f"dec_{idx}_post", dt)(x)
+            x = _conv(f, 3, 1, self.dim, f"dec_{idx}_post", dt, impl)(x)
             if self.dec > 0:
-                x = ResLayer(f, self.dec, 1, dim=self.dim, dtype=dt, name=f"dec_{idx}_res")(x, train)
+                x = ResLayer(f, self.dec, 1, dim=self.dim, dtype=dt, conv3d_impl=impl, name=f"dec_{idx}_res")(x, train)
             dec_out.append(x)
             idx += 1
 
         for f in self.head_filters:
             x = TorchDeconv(f, dim=self.dim, dtype=dt, name=f"head_{idx}_deconv")(x)
             if self.dec > 0:
-                x = ResLayer(f, self.dec, 1, dim=self.dim, dtype=dt, name=f"head_{idx}_res")(x, train)
+                x = ResLayer(f, self.dec, 1, dim=self.dim, dtype=dt, conv3d_impl=impl, name=f"head_{idx}_res")(x, train)
             dec_out.append(x)
             idx += 1
 
@@ -216,36 +232,42 @@ class Reg(nn.Module):
     """(reference: vis_mvsnet_singlestage.py:21-29)"""
 
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         return UNet(
             enc=1, dec=0, bottom_filters=(), filters=(8, 16), head_filters=(),
-            dim=3, dtype=self.dtype, name="unet",
+            dim=3, dtype=self.dtype, conv3d_impl=self.conv3d_impl, name="unet",
         )(x, train=train)
 
 
 class RegPair(nn.Module):
+    conv3d_impl: str = "xla"
+
     @nn.compact
     def __call__(self, x):
         # score head in fp32 (feeds the softmax/soft-argmin)
-        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="final_conv")(
-            x.astype(jnp.float32)
-        )
+        return conv3d_op(
+            1, use_bias=False, dtype=jnp.float32, name="final_conv",
+            impl=self.conv3d_impl,
+        )(x.astype(jnp.float32))
 
 
 class RegFuse(nn.Module):
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train=False):
         x = UNet(
             enc=1, dec=0, bottom_filters=(), filters=(8, 16), head_filters=(),
-            dim=3, dtype=self.dtype, name="unet",
+            dim=3, dtype=self.dtype, conv3d_impl=self.conv3d_impl, name="unet",
         )(x, train=train)
-        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="final_conv")(
-            x.astype(jnp.float32)
-        )
+        return conv3d_op(
+            1, use_bias=False, dtype=jnp.float32, name="final_conv",
+            impl=self.conv3d_impl,
+        )(x.astype(jnp.float32))
 
 
 class UncertNet(nn.Module):
@@ -278,6 +300,7 @@ class SingleStage(nn.Module):
     heads and fusion-weight math stay fp32 (mixed-precision template)."""
 
     dtype: object = jnp.float32
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -313,9 +336,9 @@ class SingleStage(nn.Module):
             else depth_interval_override
         )
 
-        reg = Reg(dtype=self.dtype, name="reg")
-        reg_pair = RegPair(name="reg_pair")
-        reg_fuse = RegFuse(dtype=self.dtype, name="reg_fuse")
+        reg = Reg(dtype=self.dtype, conv3d_impl=self.conv3d_impl, name="reg")
+        reg_pair = RegPair(conv3d_impl=self.conv3d_impl, name="reg_pair")
+        reg_fuse = RegFuse(dtype=self.dtype, conv3d_impl=self.conv3d_impl, name="reg_fuse")
         uncert_net = UncertNet(2, name="uncert_net")
 
         # (B, D, h, w, C) reference volume

@@ -46,6 +46,9 @@ class CVPMVSNetModule(nn.Module):
     # (hypothesis solve), variance accumulation, softmax/depth regression
     # and confidence stay fp32 (the robust_mvd mixed-precision template).
     dtype: str = "float32"
+    # 3x3x3 stride-1 conv lowering in CostRegNet: "xla" or lane-packed
+    # "banded"/"packed" (ops/conv3d.py) — same parameters either way
+    conv3d_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, min_depth, max_depth, num_views=None):
@@ -77,7 +80,7 @@ class CVPMVSNetModule(nn.Module):
             axis=1,
         )  # (B, nsrc, S, 3, 3)
 
-        cost_reg = CostRegNet(dtype=cdt, name="cost_reg_refine")
+        cost_reg = CostRegNet(dtype=cdt, conv3d_impl=self.conv3d_impl, name="cost_reg_refine")
 
         # ---- coarsest level: uniform sweep + variance volume --------------
         depth_hypos = cal_sweeping_depth_hypos(min_depth, max_depth, 48)  # (B, 48)
@@ -164,8 +167,8 @@ class CVPMVSNetModule(nn.Module):
 
 
 class CVPMVSNet(ModelBase):
-    def __init__(self, nscale=5, weights=None, train=False, seed=0, dtype="float32", **_):
-        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test", dtype=dtype)
+    def __init__(self, nscale=5, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="xla", **_):
+        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test", dtype=dtype, conv3d_impl=conv3d_impl)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 3, 64, 64, 3)),

@@ -52,7 +52,7 @@ class MVSNetModule(nn.Module):
     dtype: str = "float32"
     # 3x3x3 stride-1 conv lowering inside CostRegNet: "xla" or the
     # lane-packed "banded"/"packed" (ops/conv3d.py) — same parameters
-    conv3d_impl: str = "xla"
+    conv3d_impl: str = "banded"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None):
@@ -201,7 +201,7 @@ class MVSNetModule(nn.Module):
 
 
 class MVSNet(ModelBase):
-    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="xla"):
+    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="banded"):
         module = MVSNetModule(
             sample_in_inv_depth_space=sample_in_inv_depth_space,
             num_sampling_steps=num_sampling_steps,

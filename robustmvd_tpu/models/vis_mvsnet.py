@@ -41,6 +41,9 @@ class VisMvsnetModule(nn.Module):
     # cam/homography math, score volumes, soft-argmin and fusion weights
     # stay fp32 (the robust_mvd mixed-precision template).
     dtype: str = "float32"
+    # 3x3x3 stride-1 conv lowering in the 3D regularizers: "xla" or the
+    # lane-packed "banded"/"packed" (ops/conv3d.py) — same parameters
+    conv3d_impl: str = "banded"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range, num_views=None):
@@ -97,7 +100,7 @@ class VisMvsnetModule(nn.Module):
         else:
             src_valid = None
 
-        est_depth_1, prob_map_1, pair_results_1 = SingleStage(dtype=cdt, name="stage1")(
+        est_depth_1, prob_map_1, pair_results_1 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, name="stage1")(
             ref1, cam_key, srcs1, srcs_cam,
             depth_num=depth_nums[0],
             mode=self.mode,
@@ -114,7 +117,7 @@ class VisMvsnetModule(nn.Module):
             _resize_map(jax.lax.stop_gradient(est_depth_1), size2)
             - depth_nums[1] * depth_interval * interval_scales[1] / 2
         )
-        est_depth_2, prob_map_2, pair_results_2 = SingleStage(dtype=cdt, name="stage2")(
+        est_depth_2, prob_map_2, pair_results_2 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, name="stage2")(
             ref2, cam_key, srcs2, srcs_cam,
             depth_num=depth_nums[1],
             mode=self.mode,
@@ -131,7 +134,7 @@ class VisMvsnetModule(nn.Module):
             _resize_map(jax.lax.stop_gradient(est_depth_2), size3)
             - depth_nums[2] * depth_interval * interval_scales[2] / 2
         )
-        est_depth_3, prob_map_3, pair_results_3 = SingleStage(dtype=cdt, name="stage3")(
+        est_depth_3, prob_map_3, pair_results_3 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, name="stage3")(
             ref3, cam_key, srcs3, srcs_cam,
             depth_num=depth_nums[2],
             mode=self.mode,
@@ -164,8 +167,8 @@ class VisMvsnetModule(nn.Module):
 
 
 class VisMvsnet(ModelBase):
-    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32"):
-        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=False, dtype=dtype)
+    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="banded"):
+        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=False, dtype=dtype, conv3d_impl=conv3d_impl)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 2, 64, 64, 3)),

@@ -39,9 +39,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Empirical best banded tiles on TPU v5e at the CostRegNet volume shapes
+# (tools/bench_conv3d_strategies.py, bf16, D=256 volume): C=8 layers run
+# fastest at T=6 (8->8: 1.14 ms vs 2.79 xla; 8->1: 1.12 vs 2.75), C=16 at
+# T=14 (0.43 vs 0.65), C>=32 at T=6 (conv4 0.36 vs 0.46). Lane-math
+# defaults (128/max(C)) measured SLOWER than these.
+_BEST_TILE = {8: 6, 16: 14, 32: 6, 64: 6}
+
+
 def _tile_for(cin: int, cout: int, width: int) -> int:
-    """Default spatial tile: fill the 128-lane dim on the wider side."""
-    t = max(1, 128 // max(cin, cout))
+    """Default spatial tile (measured table, lane-fill fallback)."""
+    c = max(cin, cout)
+    t = _BEST_TILE.get(c, max(1, 128 // c))
     return min(t, width)
 
 
@@ -72,6 +81,78 @@ def _kron_band(kernel, tile):
     k = kernel.reshape(9, 3, ci, co)  # (dzdy, dx, ci, co)
     M = jnp.einsum("xjt,gxio->gjito", E, k, optimize=True)
     return M.reshape(9, (tile + 2) * ci, tile * co)
+
+
+def _band_masks_s2(tile: int) -> np.ndarray:
+    """Constant (3, 2T+2, T) selectors for stride-2: E[dx, 2t+dx, t] = 1."""
+    E = np.zeros((3, 2 * tile + 2, tile), np.float32)
+    for dx in range(3):
+        for t in range(tile):
+            E[dx, 2 * t + dx, t] = 1.0
+    return E
+
+
+def _kron_band_s2(kernel, tile):
+    """(3,3,3,Ci,Co) -> (9, (2T+2)*Ci, T*Co) stride-2 banded matrices."""
+    ci, co = kernel.shape[3], kernel.shape[4]
+    E = jnp.asarray(_band_masks_s2(tile), kernel.dtype)  # (3, 2T+2, T)
+    k = kernel.reshape(9, 3, ci, co)
+    M = jnp.einsum("xjt,gxio->gjito", E, k, optimize=True)
+    return M.reshape(9, (2 * tile + 2) * ci, tile * co)
+
+
+def conv3d_packed_s2(x, kernel, *, tile=None):
+    """k=3 / stride-2 / pad-1 3D conv, NDHWC, via the banded packing.
+
+    Exact reordering of ``lax.conv_general_dilated(x, kernel, (2,2,2),
+    ((1,1),)*3, NDHWC/DHWIO)``: the three x-taps become a stride-2 banded
+    ((2T+2)*Cin, T*Cout) matrix over overlapping (2T+2)-column windows,
+    and the nine (dz, dy) taps select stride-2 row slices.
+    """
+    B, D, H, W, C = x.shape
+    Co = kernel.shape[-1]
+    Do, Ho, Wo = (D + 1) // 2, (H + 1) // 2, (W + 1) // 2
+    T = tile or max(1, min(_tile_for(C, Co, Wo), Wo))
+    Wop = -(-Wo // T) * T
+    Wt = Wop // T
+    # padded input width must cover the last window: 2*(Wt-1)*T + 2T+2
+    need_w = 2 * Wop + 2
+    need_d = 2 * Do + 1
+    need_h = 2 * Ho + 1
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (1, max(0, need_d - D - 1)),
+            (1, max(0, need_h - H - 1)),
+            (1, max(0, need_w - W - 1)),
+            (0, 0),
+        ),
+    )
+
+    M = _kron_band_s2(kernel, tile=T).astype(x.dtype)
+    wins = jnp.stack(
+        [
+            xp[:, :, :, 2 * i * T : 2 * i * T + 2 * T + 2, :].reshape(
+                xp.shape[0], xp.shape[1], xp.shape[2], (2 * T + 2) * C
+            )
+            for i in range(Wt)
+        ],
+        axis=-2,
+    )  # (B, Dp, Hp, Wt, (2T+2)*C)
+    lhs = jnp.stack(
+        [
+            wins[:, dz : dz + 2 * Do - 1 : 2, dy : dy + 2 * Ho - 1 : 2]
+            for dz in range(3)
+            for dy in range(3)
+        ],
+        axis=-2,
+    )  # (B, Do, Ho, Wt, 9, (2T+2)*C)
+    out = jax.lax.dot_general(
+        lhs, M, (((4, 5), (0, 1)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out = out.reshape(B, Do, Ho, Wop, Co)[:, :, :, :Wo]
+    return out.astype(x.dtype)
 
 
 def conv3d_packed(x, kernel, *, tile=None, banded=True):

@@ -10,7 +10,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from robustmvd_tpu.ops.conv3d import Conv3dPacked, conv3d_packed, conv3d_op
+from robustmvd_tpu.ops.conv3d import (
+    Conv3dPacked,
+    conv3d_op,
+    conv3d_packed,
+    conv3d_packed_s2,
+)
 
 
 def _oracle(x, k):
@@ -107,6 +112,30 @@ def test_conv3d_op_factory(rng):
         rtol=2e-5,
         atol=2e-5,
     )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        (8, 6, 10, 8, 16, None),
+        (7, 5, 9, 16, 32, 2),   # odd dims
+        (8, 6, 10, 32, 64, None),
+        (6, 4, 8, 8, 16, 3),
+    ],
+)
+def test_conv3d_packed_s2_matches_oracle(rng, case):
+    D, H, W, C, Co, tile = case
+    x = jnp.asarray(rng.randn(2, D, H, W, C).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, 3, C, Co) * 0.1).astype(np.float32))
+    want = np.asarray(
+        jax.lax.conv_general_dilated(
+            x, k, (2, 2, 2), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+    )
+    got = np.asarray(conv3d_packed_s2(x, k, tile=tile))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def test_conv3d_packed_gradients_match(rng):

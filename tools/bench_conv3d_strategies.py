@@ -163,6 +163,15 @@ def make_strategies(jnp, lax):
         if sname.startswith("banded"):
             T = int(sname[len("banded"):])
             return conv_banded(T), np_dtype(pack_banded(k_np, T), dtype)
+        if sname.startswith("pallas"):
+            from robustmvd_tpu.ops.pallas.conv3d import conv3d_banded_pallas
+
+            T = int(sname[len("pallas"):]) if len(sname) > 6 else None
+
+            def f(x, k, T=T):
+                return conv3d_banded_pallas(x, k, T, 4, False)
+
+            return f, np_dtype(k_np, dtype)
         raise ValueError(sname)
 
     return build
