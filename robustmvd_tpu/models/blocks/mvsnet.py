@@ -71,6 +71,16 @@ class ConvBnReLU3D(nn.Module):
                 name="conv",
                 impl=self.conv3d_impl,
             )
+        elif (
+            k == 3 and s == 2 and p == 1
+            and self.conv3d_impl != "xla" and x.shape[-1] == 8
+        ):
+            # stride-2 banded packing wins only at Cin=8 (ops/conv3d.py)
+            from ...ops.conv3d import Conv3dPackedS2
+
+            conv = Conv3dPackedS2(
+                self.features, use_bias=False, dtype=self.dtype, name="conv"
+            )
         else:
             conv = nn.Conv(
                 self.features,
@@ -171,7 +181,10 @@ class CostRegNet(nn.Module):
         # the C<=16 layers and the prob head (1.5-2.5x)
         conv0 = ConvBnReLU3D(8, dtype=dt, conv3d_impl="xla", name="conv0")(x, train)
         conv2 = ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv2")(
-            ConvBnReLU3D(16, stride=2, dtype=dt, name="conv1")(conv0, train), train
+            ConvBnReLU3D(16, stride=2, dtype=dt, conv3d_impl=impl, name="conv1")(
+                conv0, train
+            ),
+            train,
         )
         conv4 = ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv4")(
             ConvBnReLU3D(32, stride=2, dtype=dt, name="conv3")(conv2, train), train

@@ -211,6 +211,35 @@ def conv3d_packed(x, kernel, *, tile=None, banded=True):
     return out.astype(x.dtype)
 
 
+class Conv3dPackedS2(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3,3,3), strides=2, padding=1)``.
+
+    Same parameter tree as nn.Conv. Measured on v5e: wins 1.6x over the
+    direct strided conv for Cin=8 at full-res volumes (conv1: 1.74 ->
+    1.09 ms, tile 14), ties/regresses for Cin>=16 — callers gate on Cin.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: object = jnp.float32
+    tile: int | None = 14
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, x.shape[-1], self.features),
+        )
+        y = conv3d_packed_s2(
+            x.astype(self.dtype), kernel.astype(self.dtype), tile=self.tile
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv3dPacked(nn.Module):
     """Drop-in for ``nn.Conv(features, (3,3,3), padding=1)`` on NDHWC input.
 

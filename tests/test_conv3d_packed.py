@@ -138,6 +138,30 @@ def test_conv3d_packed_s2_matches_oracle(rng, case):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_conv3d_s2_module_param_compat(rng):
+    """Conv3dPackedS2 matches nn.Conv(strides=2) params and outputs."""
+    import flax.linen as nn
+
+    from robustmvd_tpu.ops.conv3d import Conv3dPackedS2
+
+    x = jnp.asarray(rng.randn(1, 6, 4, 10, 8).astype(np.float32))
+    ref_mod = nn.Conv(
+        16, kernel_size=(3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3,
+        use_bias=False,
+    )
+    s2_mod = Conv3dPackedS2(16, tile=3)
+    v = ref_mod.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        s2_mod.init(jax.random.PRNGKey(0), x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2_mod.apply(v, x)),
+        np.asarray(ref_mod.apply(v, x)),
+        rtol=2e-5,
+        atol=2e-5,
+    )
+
+
 def test_conv3d_packed_gradients_match(rng):
     """Backward pass parity: same cotangents through both formulations."""
     x = jnp.asarray(rng.randn(1, 4, 4, 6, 8).astype(np.float32))
