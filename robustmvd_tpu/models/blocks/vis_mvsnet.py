@@ -83,7 +83,19 @@ class BasicBlock(nn.Module):
         dt = self.dtype
         impl = self.conv3d_impl
         residual = x
-        out = _conv(self.planes, 3, self.stride, self.dim, "conv1", dt, impl)(x)
+        if (
+            self.dim == 3 and self.stride == 2
+            and impl != "xla" and x.shape[-1] == 8
+        ):
+            # stride-2 banded packing wins only at Cin=8 (ops/conv3d.py)
+            from ...ops.conv3d import Conv3dPackedS2
+
+            conv1 = Conv3dPackedS2(
+                self.planes, use_bias=False, dtype=dt, name="conv1"
+            )
+        else:
+            conv1 = _conv(self.planes, 3, self.stride, self.dim, "conv1", dt, impl)
+        out = conv1(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt, name="bn1")(out)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, self.dim, "conv2", dt, impl)(out)
