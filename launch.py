@@ -38,6 +38,8 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
+import time
 
 
 def _free_port():
@@ -65,37 +67,51 @@ def run_local(args, script_argv):
         + f" --xla_force_host_platform_device_count={args.devices_per_process}"
     ).strip()
 
+    # Children write to temp files, not PIPEs: with a sequential
+    # communicate() drain, a lockstep distributed child that fills its 64KB
+    # pipe buffer would block mid-collective and stall the whole group.
     procs = []
+    logs = []
     for pid in range(args.local):
         env = dict(env_base)
         env["RMVD_TPU_COORDINATOR"] = coord
         env["RMVD_TPU_NUM_PROCESSES"] = str(args.local)
         env["RMVD_TPU_PROCESS_ID"] = str(pid)
+        log = tempfile.TemporaryFile()
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 _child_cmd(script_argv),
                 env=env,
-                stdout=subprocess.PIPE,
+                stdout=log,
                 stderr=subprocess.STDOUT,
             )
         )
 
     rc = 0
+    deadline = time.monotonic() + args.timeout
     for pid, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=args.timeout)
+            p.wait(timeout=max(0.0, deadline - time.monotonic()))
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
+            rc = 124
             print(f"[launch] process {pid} timed out", file=sys.stderr)
-            return 124
+            break
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        if p.poll() is None:
+            p.wait()
+        log.seek(0)
+        out = log.read()
+        log.close()
         sys.stdout.write(
             "".join(
                 f"[proc {pid}] {line}\n"
                 for line in out.decode(errors="replace").splitlines()
             )
         )
-        if p.returncode != 0:
+        if rc != 124 and p.returncode != 0:
             rc = p.returncode
             print(f"[launch] process {pid} exited {p.returncode}", file=sys.stderr)
     return rc

@@ -279,6 +279,10 @@ def conv3d_op(features, *, use_bias, dtype, name, impl="xla", tile=None):
     impl='xla' keeps flax nn.Conv (direct lowering); impl='packed'/'banded'
     returns the lane-packed module with identical parameters.
     """
+    if impl not in ("xla", "banded", "packed"):
+        raise ValueError(
+            f"unknown conv3d impl {impl!r}: expected one of 'xla', 'banded', 'packed'"
+        )
     if impl == "xla":
         return nn.Conv(
             features,

@@ -99,19 +99,25 @@ class MultiViewDepthTraining:
         self.log_loss_interval = log_loss_interval
         self.save_checkpoint_interval_min = save_checkpoint_interval_min
 
-        # multi-host: every process runs its own loader over the full
-        # dataset with a process-distinct shuffle seed, and each local
-        # batch becomes that process's shard of the global batch (see
-        # _make_train_step); single-process keeps the global-RNG shuffle
-        loader_seed = (
-            None if jax.process_count() == 1 else 7919 * (jax.process_index() + 1)
-        )
+        # multi-host: the dataset is partitioned by process (strided index
+        # split, so a global batch never contains the same sample twice)
+        # and each process shuffles only its own shard; each local batch
+        # becomes that process's shard of the global batch (see
+        # _build_train_step). Single-process keeps the global-RNG shuffle.
+        loader_seed = None
+        loader_indices = None
+        if jax.process_count() > 1:
+            loader_seed = 7919 * (jax.process_index() + 1)
+            loader_indices = list(
+                range(jax.process_index(), len(self.dataset), jax.process_count())
+            )
         self.dataloader = self.dataset.get_loader(
             batch_size=batch_size,
             shuffle=True,
             num_workers=num_workers,
             drop_last=True,
             seed=loader_seed,
+            indices=loader_indices,
         )
 
         # optax transform (clip + optimizer + schedule in one chain)
@@ -410,11 +416,35 @@ class MultiViewDepthTraining:
         self.model.variables = jax.device_get(self.state["variables"])
 
     def _restore_state(self):
+        restored = None
         if self.saver_all.has_snapshot():
             template = jax.device_get(self.state)
             state, iteration = self.saver_all.restore(template)
             if state is not None:
+                restored = (state, int(iteration))
+
+        if jax.process_count() > 1:
+            # only process 0 writes checkpoints (_save_all), so on a
+            # host-local (non-shared) checkpoints_dir the other processes
+            # would see no snapshot and resume at iteration 0 while
+            # process 0 resumes at N — diverging the replicated state and
+            # hanging the first collective. Broadcast process 0's restore
+            # decision (state + iteration) to every process instead.
+            from jax.experimental import multihost_utils
+
+            local_state = restored[0] if restored else jax.device_get(self.state)
+            local_iter = np.asarray(restored[1] if restored else 0, np.int32)
+            state = jax.device_get(multihost_utils.broadcast_one_to_all(local_state))
+            iteration = int(multihost_utils.broadcast_one_to_all(local_iter))
+            restored = (state, iteration) if iteration > 0 else None
+            if restored is None:
+                # still adopt process 0's (identical-by-seed) init state so
+                # all processes are bit-identical from the start
                 self.state = state
-                self.finished_iterations = int(iteration)
-                self.model.variables = state["variables"]
-                logging.info(f"Restored checkpoint at iteration {iteration}.")
+
+        if restored is not None:
+            self.state, self.finished_iterations = restored
+            self.model.variables = self.state["variables"]
+            logging.info(
+                f"Restored checkpoint at iteration {self.finished_iterations}."
+            )

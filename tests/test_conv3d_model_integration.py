@@ -31,7 +31,11 @@ def test_mvsnet_packed_conv3d_matches_xla(rng, impl):
     inputs = _inputs(rng)
 
     ref_model = create_model(
-        "mvsnet_train", pretrained=False, weights=None, num_sampling_steps=32
+        "mvsnet_train",
+        pretrained=False,
+        weights=None,
+        num_sampling_steps=32,
+        conv3d_impl="xla",
     )
     packed_model = create_model(
         "mvsnet_train",
@@ -57,7 +61,11 @@ def test_mvsnet_packed_conv3d_matches_xla(rng, impl):
 def test_vis_mvsnet_banded_conv3d_matches_xla(rng):
     inputs = _inputs(rng)
     ref_model = create_model(
-        "vis_mvsnet", pretrained=False, weights=None, num_sampling_steps=32
+        "vis_mvsnet",
+        pretrained=False,
+        weights=None,
+        num_sampling_steps=32,
+        conv3d_impl="xla",
     )
     banded_model = create_model(
         "vis_mvsnet",
@@ -87,7 +95,9 @@ def test_cvp_mvsnet_banded_conv3d_matches_xla(rng):
     inputs["poses"] = [np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))] + [
         np.tile(random_pose_np(rng, 0.1, 0.2), (1, 1, 1)) for _ in range(V - 1)
     ]
-    ref_model = create_model("cvp_mvsnet", pretrained=False, weights=None, nscale=3)
+    ref_model = create_model(
+        "cvp_mvsnet", pretrained=False, weights=None, nscale=3, conv3d_impl="xla"
+    )
     banded_model = create_model(
         "cvp_mvsnet", pretrained=False, weights=None, nscale=3, conv3d_impl="banded"
     )
