@@ -223,11 +223,16 @@ def cal_depth_hypo_interval(ref_depths, ref_K, src_K, ref_ex, src_ex):
         tmp1 = X1_d * (A @ X1)  # (3, P)
         tmp2 = A @ X3
 
-        # solve the 2x2 system rows 1: of [X | tmp2] x = tmp1 (:345-351)
-        M1 = jnp.stack([X.T[:, 1:], tmp2.T[:, 1:]], axis=2)  # (P, 2, 2)
-        M2 = tmp1.T[:, 1:]  # (P, 2)
-        ans = jnp.linalg.solve(M1, M2[..., None])  # (P, 2, 1)
-        delta_d = ans[:, 0, 0]
+        # solve the 2x2 system rows 1: of [X | tmp2] x = tmp1 (:345-351).
+        # Closed-form Cramer instead of batched jnp.linalg.solve: the LU
+        # lowering of 81920 tiny (2,2) systems is scalar-loop poison on TPU
+        # (it alone cost ~51 ms of the 256x320 forward); only the first
+        # unknown (delta_d) is needed.
+        a, c = X[1], X[2]  # (P,)
+        b, d = tmp2[1], tmp2[2]
+        e, f = tmp1[1], tmp1[2]
+        det = a * d - b * c
+        delta_d = (e * d - b * f) / det
         return jnp.mean(jnp.abs(delta_d))
 
     return jax.vmap(per_batch)(ref_depths, ref_K, src_K, ref_ex, src_ex)

@@ -68,3 +68,75 @@ def test_cvp_mvsnet_forward(rng):
     assert pred["depth"].shape == (B, 1, H, W)
     assert np.isfinite(pred["depth"]).all()
     assert len(aux["depths_all"]) == 3
+
+
+def test_cvp_depth_hypo_interval_matches_solve_oracle(rng):
+    """The closed-form Cramer solve in cal_depth_hypo_interval equals the
+    batched 2x2 np.linalg.solve of the same system (reference:
+    cvp_mvsnet_components.py:345-351) within fp32 tolerance."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from robustmvd_tpu.models.blocks.cvp_mvsnet import cal_depth_hypo_interval
+
+    B, H, W = 2, 24, 32
+    depths = (1.0 + rng.rand(B, H, W) * 5).astype(np.float32)
+    K = np.tile(
+        np.array([[40.0, 0, 16], [0, 40.0, 12], [0, 0, 1]], np.float32), (B, 1, 1)
+    )
+    ref_ex = np.stack([np.eye(4, dtype=np.float32) for _ in range(B)])
+    src_ex = []
+    for _ in range(B):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rotation.from_rotvec(rng.randn(3) * 0.1).as_matrix()
+        T[:3, 3] = rng.randn(3) * 0.2
+        src_ex.append(T)
+    src_ex = np.stack(src_ex)
+
+    out = np.asarray(
+        cal_depth_hypo_interval(
+            jnp.asarray(depths),
+            jnp.asarray(K),
+            jnp.asarray(K * 1.05),
+            jnp.asarray(ref_ex),
+            jnp.asarray(src_ex),
+        )
+    )
+
+    def oracle(depth, rK, sK, rE, sE):
+        xx, yy = np.meshgrid(
+            np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64),
+            indexing="ij",
+        )
+        X = np.stack([xx.reshape(-1), yy.reshape(-1), np.ones(H * W)], 0)
+        D1 = depth.T.reshape(-1).astype(np.float64)
+        D2 = D1 + 1
+        rKi = np.linalg.inv(rK)
+        ray1, ray2 = rKi @ (X * D1), rKi @ (X * D2)
+        ones = np.ones((1, H * W))
+        X1 = np.linalg.inv(rE) @ np.concatenate([ray1, ones], 0)
+        X2 = np.linalg.inv(rE) @ np.concatenate([ray2, ones], 0)
+        X1, X2 = (sE @ X1)[:3], (sE @ X2)[:3]
+        X1 = sK @ X1
+        X1_d = X1[2]
+        X1 = X1 / X1_d
+        X2 = sK @ X2
+        X2 = X2 / X2[2]
+        k = (X2[1] - X1[1]) / (X2[0] - X1[0])
+        th = np.arctan(k)
+        X3 = X1 + np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], 0)
+        A = rK @ rE[:3, :3] @ np.linalg.inv(sK @ sE[:3, :3])
+        tmp1, tmp2 = X1_d * (A @ X1), A @ X3
+        M1 = np.stack([X.T[:, 1:], tmp2.T[:, 1:]], 2)
+        ans = np.linalg.solve(M1, tmp1.T[:, 1:, None])
+        return np.mean(np.abs(ans[:, 0, 0]))
+
+    for b in range(B):
+        expect = oracle(
+            depths[b],
+            K[b].astype(np.float64),
+            (K[b] * 1.05).astype(np.float64),
+            ref_ex[b].astype(np.float64),
+            src_ex[b].astype(np.float64),
+        )
+        np.testing.assert_allclose(out[b], expect, rtol=1e-3)
