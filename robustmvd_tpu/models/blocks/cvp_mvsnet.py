@@ -77,6 +77,13 @@ class ConvBnReLU3D(nn.Module):
                 self.features, use_bias=False, dtype=self.dtype, name="conv",
                 impl=self.conv3d_impl,
             )
+        elif self.stride == 2 and self.conv3d_impl == "dz2d":
+            from ...ops.conv3d import Conv3dDz2d
+
+            conv = Conv3dDz2d(
+                self.features, stride=2, use_bias=False, dtype=self.dtype,
+                name="conv",
+            )
         else:
             conv = nn.Conv(
                 self.features, (3, 3, 3), strides=(self.stride,) * 3,
@@ -104,15 +111,13 @@ class _Deconv3d(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k, k, k, in_features, self.features),
         )
-        pad_lo = k - 1 - 1
-        pad_hi = k - 1 - 1 + self.output_padding
-        return jax.lax.conv_general_dilated(
+        from ...ops.conv3d import conv3d_transposed_dz2d
+
+        return conv3d_transposed_dz2d(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
-            window_strides=(1, 1, 1),
-            padding=((pad_lo, pad_hi),) * 3,
-            lhs_dilation=(self.stride,) * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            stride=self.stride,
+            output_padding=self.output_padding,
         )
 
 
@@ -131,7 +136,7 @@ class CostRegNet(nn.Module):
         conv0 = ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv0a")(ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv0")(x.astype(dt), train), train)
         conv2 = ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv2a")(
             ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv2")(
-                ConvBnReLU3D(32, stride=2, dtype=dt, name="conv1")(conv0, train), train
+                ConvBnReLU3D(32, stride=2, dtype=dt, conv3d_impl=impl, name="conv1")(conv0, train), train
             ),
             train,
         )
@@ -289,6 +294,9 @@ def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, 
         rot = proj[:, :3, :3]
         trans = proj[:, :3, 3]
         warped = rt_planesweep_warp(src_features[src_idx], rot, trans, hypos_flat)
+        # barrier: keep XLA from duplicating the warp gather into both the
+        # sum and square consumers (see models/mvsnet.py add_view)
+        warped = jax.lax.optimization_barrier(warped)
         warped = warped.astype(jnp.float32) * src_valid[:, src_idx].reshape(B, 1, 1, 1, 1)
         volume_sum = volume_sum + warped
         volume_sq_sum = volume_sq_sum + warped**2

@@ -71,6 +71,13 @@ class ConvBnReLU3D(nn.Module):
                 name="conv",
                 impl=self.conv3d_impl,
             )
+        elif k == 3 and s == 2 and p == 1 and self.conv3d_impl == "dz2d":
+            from ...ops.conv3d import Conv3dDz2d
+
+            conv = Conv3dDz2d(
+                self.features, stride=2, use_bias=False, dtype=self.dtype,
+                name="conv",
+            )
         elif (
             k == 3 and s == 2 and p == 1
             and self.conv3d_impl != "xla" and x.shape[-1] == 8
@@ -118,6 +125,17 @@ class TorchConvTranspose3d(nn.Module):
             nn.initializers.variance_scaling(2.0, mode="fan_out", distribution="normal"),
             (k, k, k, in_features, self.features),
         )
+        if k == 3 and self.padding == 1:
+            # dz-decomposed lowering: XLA's 3D transposed-conv emitter is
+            # ~4x slower than interleaved 2D convs (ops/conv3d.py)
+            from ...ops.conv3d import conv3d_transposed_dz2d
+
+            return conv3d_transposed_dz2d(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                stride=self.stride,
+                output_padding=self.output_padding,
+            )
         pad_lo = k - 1 - self.padding
         pad_hi = k - 1 - self.padding + self.output_padding
         pads = ((pad_lo, pad_hi),) * 3
@@ -175,11 +193,11 @@ class CostRegNet(nn.Module):
     def __call__(self, x, train=False):
         dt = self.dtype
         impl = self.conv3d_impl
-        # conv0 (32->8 at full res) stays on the direct lowering: XLA
-        # already hits 1.9% MFU there and the banded dot measured no win
-        # (tools/bench_conv3d_strategies.py) — the packed impls pay off on
-        # the C<=16 layers and the prob head (1.5-2.5x)
-        conv0 = ConvBnReLU3D(8, dtype=dt, conv3d_impl="xla", name="conv0")(x, train)
+        # dz2d (three D-shifted 2D convs) wins on EVERY layer incl. conv0
+        # (4.8 -> 0.85 ms) and the strided/transposed ones; the banded
+        # packings only ever beat the direct 3D emitter, which the 2D
+        # decomposition sidesteps entirely (tools/bench_costreg_layers.py)
+        conv0 = ConvBnReLU3D(8, dtype=dt, conv3d_impl=("dz2d" if impl == "dz2d" else "xla"), name="conv0")(x, train)
         conv2 = ConvBnReLU3D(16, dtype=dt, conv3d_impl=impl, name="conv2")(
             ConvBnReLU3D(16, stride=2, dtype=dt, conv3d_impl=impl, name="conv1")(
                 conv0, train
@@ -187,10 +205,10 @@ class CostRegNet(nn.Module):
             train,
         )
         conv4 = ConvBnReLU3D(32, dtype=dt, conv3d_impl=impl, name="conv4")(
-            ConvBnReLU3D(32, stride=2, dtype=dt, name="conv3")(conv2, train), train
+            ConvBnReLU3D(32, stride=2, dtype=dt, conv3d_impl=impl, name="conv3")(conv2, train), train
         )
         x = ConvBnReLU3D(64, dtype=dt, conv3d_impl=impl, name="conv6")(
-            ConvBnReLU3D(64, stride=2, dtype=dt, name="conv5")(conv4, train), train
+            ConvBnReLU3D(64, stride=2, dtype=dt, conv3d_impl=impl, name="conv5")(conv4, train), train
         )
         x = conv4 + DeconvBnReLU3D(32, dtype=dt, name="conv7")(x, train)
         x = conv2 + DeconvBnReLU3D(16, dtype=dt, name="conv9")(x, train)

@@ -41,11 +41,15 @@ def scale_camera(cam, scale):
 
 def _conv(features, k, s, dim, name, dtype=jnp.float32, conv3d_impl="xla"):
     if dim == 3 and k == 3 and s == 1 and conv3d_impl != "xla":
-        # lane-packed lowering for the small-channel 3D convs
-        # (ops/conv3d.py) — identical parameters to nn.Conv
+        # lane-packed / dz-decomposed lowering for the small-channel 3D
+        # convs (ops/conv3d.py) — identical parameters to nn.Conv
         return conv3d_op(
             features, use_bias=False, dtype=dtype, name=name, impl=conv3d_impl
         )
+    if dim == 3 and k == 3 and s == 2 and conv3d_impl == "dz2d":
+        from ...ops.conv3d import Conv3dDz2d
+
+        return Conv3dDz2d(features, stride=2, use_bias=False, dtype=dtype, name=name)
     pad = ((k // 2, k // 2),) * dim
     return nn.Conv(
         features,
@@ -152,6 +156,15 @@ class TorchDeconv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k,) * self.dim + (in_features, self.features),
         )
+        if self.dim == 3:
+            from ...ops.conv3d import conv3d_transposed_dz2d
+
+            return conv3d_transposed_dz2d(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                stride=2,
+                output_padding=1,
+            )
         pads = ((1, 2),) * self.dim
         dn = ("NHWC", "HWIO", "NHWC") if self.dim == 2 else ("NDHWC", "DHWIO", "NDHWC")
         return jax.lax.conv_general_dilated(

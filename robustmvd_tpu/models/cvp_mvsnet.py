@@ -109,6 +109,9 @@ class CVPMVSNetModule(nn.Module):
             warped = rt_planesweep_warp(
                 src_fps[i][-1], proj[:, :3, :3], proj[:, :3, 3], depth_hypos
             )
+            # barrier: keep XLA from duplicating the warp gather into both
+            # the sum and square consumers (see blocks/cvp_mvsnet.py)
+            warped = jax.lax.optimization_barrier(warped)
             warped = warped.astype(jnp.float32) * src_valid[:, i].reshape(B, 1, 1, 1, 1)
             volume_sum = volume_sum + warped
             volume_sq_sum = volume_sq_sum + warped**2

@@ -52,7 +52,7 @@ class MVSNetModule(nn.Module):
     dtype: str = "float32"
     # 3x3x3 stride-1 conv lowering inside CostRegNet: "xla" or the
     # lane-packed "banded"/"packed" (ops/conv3d.py) — same parameters
-    conv3d_impl: str = "banded"
+    conv3d_impl: str = "dz2d"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None):
@@ -149,6 +149,10 @@ class MVSNetModule(nn.Module):
                 vsum, vsq = carry
                 src_feat, src_proj, valid = view
                 warped = homo_warp(src_feat, src_proj, proj_key, depth_samples)
+                # barrier: without it XLA duplicates the (expensive) warp
+                # gather into both the sum and the square consumers when
+                # fusing — measured ~2x the gather cost at D=256
+                warped = jax.lax.optimization_barrier(warped)
                 warped = warped * valid[:, None, None, None, None]
                 warped = warped.astype(jnp.float32)
                 return (vsum + warped, vsq + warped**2), None
@@ -201,7 +205,7 @@ class MVSNetModule(nn.Module):
 
 
 class MVSNet(ModelBase):
-    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="banded"):
+    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="dz2d"):
         module = MVSNetModule(
             sample_in_inv_depth_space=sample_in_inv_depth_space,
             num_sampling_steps=num_sampling_steps,

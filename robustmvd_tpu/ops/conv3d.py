@@ -279,9 +279,14 @@ def conv3d_op(features, *, use_bias, dtype, name, impl="xla", tile=None):
     impl='xla' keeps flax nn.Conv (direct lowering); impl='packed'/'banded'
     returns the lane-packed module with identical parameters.
     """
-    if impl not in ("xla", "banded", "packed"):
+    if impl not in ("xla", "banded", "packed", "dz2d"):
         raise ValueError(
-            f"unknown conv3d impl {impl!r}: expected one of 'xla', 'banded', 'packed'"
+            f"unknown conv3d impl {impl!r}: "
+            "expected one of 'xla', 'banded', 'packed', 'dz2d'"
+        )
+    if impl == "dz2d":
+        return Conv3dDz2d(
+            features, stride=1, use_bias=use_bias, dtype=dtype, name=name
         )
     if impl == "xla":
         return nn.Conv(
@@ -300,3 +305,130 @@ def conv3d_op(features, *, use_bias, dtype, name, impl="xla", tile=None):
         banded=(impl == "banded"),
         name=name,
     )
+
+
+# ---------------------------------------------------------------------------
+# dz-decomposed lowerings: XLA's TPU *3D* conv emitter measures 4-5x slower
+# than summing three D-shifted *2D* convs for the CostRegNet shapes
+# (conv0 (1,256,64,80,32)->8: 13.9 ms direct vs 3.1 ms decomposed, v5e
+# bf16; tools/bench_costreg_layers.py). The decomposition is an exact
+# reordering of the same fp32-accumulated sums: (B,D) fold into the 2D
+# batch, and the three dz taps become three 2D convs on D-shifted views.
+# ---------------------------------------------------------------------------
+
+
+def conv3d_dz2d(x, kernel, *, stride=1):
+    """k=3 / pad-1 NDHWC 3D conv as three D-shifted NHWC 2D convs.
+
+    Exact reordering of ``lax.conv_general_dilated(x, kernel,
+    (stride,)*3, ((1,1),)*3, NDHWC/DHWIO)`` with fp32 accumulation.
+    ``stride`` in {1, 2} applies to all three spatial dims.
+    """
+    B, D, H, W, C = x.shape
+    Co = kernel.shape[-1]
+    if stride == 1:
+        Do = D
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        slices = [xp[:, dz : dz + D] for dz in range(3)]
+        strides_2d = (1, 1)
+    else:
+        Do = (D + 1) // 2
+        # out[do] = sum_dz in[2*do + dz - 1]
+        need = 2 * Do + 1
+        xp = jnp.pad(x, ((0, 0), (1, max(0, need - D - 1)), (0, 0), (0, 0), (0, 0)))
+        slices = [xp[:, dz : dz + 2 * Do - 1 : 2] for dz in range(3)]
+        strides_2d = (2, 2)
+
+    acc = None
+    for dz in range(3):
+        xs = slices[dz].reshape(B * Do, H, W, C)
+        o = jax.lax.conv_general_dilated(
+            xs,
+            kernel[dz],
+            window_strides=strides_2d,
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        acc = o if acc is None else acc + o
+    Ho, Wo = acc.shape[1], acc.shape[2]
+    return acc.reshape(B, Do, Ho, Wo, Co).astype(x.dtype)
+
+
+def conv3d_transposed_dz2d(x, kernel, *, stride=2, output_padding=1):
+    """torch ConvTranspose3d(k=3, pad=1) as interleaved 2D transposed convs.
+
+    Exact reordering of the lax transposed form (lhs_dilation=stride) used
+    by the family decoders: even output planes take the dz=1 tap, odd
+    planes sum dz=0 of the next input plane and dz=2 of the current one.
+    For stride=1 this is the plain dz decomposition with the flipped-tap
+    correspondence of a transposed conv.
+    """
+    B, D, H, W, C = x.shape
+    k = 3
+    Co = kernel.shape[-1]
+    pad_lo = k - 2  # 1
+    pad_hi = k - 2 + output_padding
+
+    def t2d(xs, ktap):
+        return jax.lax.conv_general_dilated(
+            xs.reshape(-1, H, W, C),
+            ktap,
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    if stride == 1:
+        Do = D + output_padding
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+        acc = None
+        for dz in range(3):
+            o = t2d(xp[:, dz : dz + Do], kernel[dz])
+            acc = o if acc is None else acc + o
+        Ho, Wo = acc.shape[1], acc.shape[2]
+        return acc.reshape(B, Do, Ho, Wo, Co).astype(x.dtype)
+
+    assert stride == 2
+    Do = 2 * D - 1 + output_padding
+    # out[2m]   = t2d(x[m], K[1])
+    # out[2m+1] = t2d(x[m], K[0]) + t2d(x[m+1], K[2])   (x[D] = 0)
+    even = t2d(x, kernel[1])  # (B*D, Ho, Wo, Co)
+    xnext = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    odd = t2d(x, kernel[0]) + t2d(xnext, kernel[2])
+    Ho, Wo = even.shape[1], even.shape[2]
+    even = even.reshape(B, D, Ho, Wo, Co)
+    odd = odd.reshape(B, D, Ho, Wo, Co)
+    inter = jnp.stack([even, odd], axis=2).reshape(B, 2 * D, Ho, Wo, Co)
+    return inter[:, :Do].astype(x.dtype)
+
+
+class Conv3dDz2d(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3,3,3), strides, padding=1)``.
+
+    Same parameter tree ("kernel", optional "bias") and initializers as
+    flax's nn.Conv; lowers through :func:`conv3d_dz2d` (three D-shifted 2D
+    convs — 4-6x the direct 3D emitter on v5e for the family shapes).
+    """
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, x.shape[-1], self.features),
+        )
+        y = conv3d_dz2d(
+            x.astype(self.dtype), kernel.astype(self.dtype), stride=self.stride
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y

@@ -47,11 +47,28 @@ def main(args):
     rng = np.random.RandomState(0)
     total = 0.0
 
+    from robustmvd_tpu.ops.conv3d import (
+        conv3d_dz2d,
+        conv3d_packed,
+        conv3d_transposed_dz2d,
+    )
+
     for name, shape, Co, kind in LAYERS:
         B, D, H, W, C = shape
         k_np = (rng.randn(3, 3, 3, C, Co) * (27 * C) ** -0.5).astype(np.float32)
         k = jnp.asarray(k_np, dtype)
-        if kind == "s1":
+        if args.impl == "dz2d":
+            if kind == "s1":
+                fn = lambda x, k: conv3d_dz2d(x, k, stride=1)
+            elif kind == "s2":
+                fn = lambda x, k: conv3d_dz2d(x, k, stride=2)
+            else:
+                fn = lambda x, k: conv3d_transposed_dz2d(
+                    x, k, stride=2, output_padding=1
+                )
+        elif args.impl == "banded" and kind == "s1":
+            fn = lambda x, k: conv3d_packed(x, k, banded=True)
+        elif kind == "s1":
             fn = lambda x, k: lax.conv_general_dilated(
                 x, k, (1, 1, 1), ((1, 1),) * 3,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -95,9 +112,11 @@ def main(args):
     print(json.dumps({"layer": "TOTAL_convs", "ms": round(total * 1e3, 3)}), flush=True)
 
 
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--reps", type=int, default=8)
+    p.add_argument("--impl", default="xla", choices=["xla", "banded", "dz2d"])
     main(p.parse_args())
