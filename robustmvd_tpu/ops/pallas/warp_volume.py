@@ -224,7 +224,13 @@ def homo_warp_pallas(src_feat, src_proj, ref_proj_inv, depth_values,
     path where full fp32 feature precision is required.
     """
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        # Mosaic kernels need a TPU; everywhere else (incl. the tests'
+        # jax_default_device=cpu routing) run interpreted
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None else jax.default_backend()
+        )
+        interpret = platform != "tpu"
     return _homo_warp_vjp(src_feat, src_proj, ref_proj_inv, depth_values,
                           block_rows, bool(interpret))
 
