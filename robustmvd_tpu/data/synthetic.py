@@ -17,11 +17,12 @@ from .registry import register_default_dataset
 
 
 class SyntheticMVDSample(Sample):
-    def __init__(self, seed, num_views, height, width):
+    def __init__(self, seed, num_views, height, width, keyview_idx=0):
         self.seed = seed
         self.num_views = num_views
         self.height = height
         self.width = width
+        self.keyview_idx = keyview_idx
 
     def load(self, root):
         rng = np.random.RandomState(self.seed)
@@ -46,7 +47,7 @@ class SyntheticMVDSample(Sample):
             "images": images,
             "poses": poses,
             "intrinsics": intrinsics,
-            "keyview_idx": 0,
+            "keyview_idx": int(getattr(self, "keyview_idx", 0)),
             "depth": depth,
         }
 
@@ -63,6 +64,7 @@ class SyntheticMVD(Dataset):
         num_views=3,
         height=64,
         width=128,
+        keyview_idx=0,
         root=".",
         layouts=None,
         **kwargs,
@@ -71,6 +73,7 @@ class SyntheticMVD(Dataset):
         self._num_views = num_views
         self._height = height
         self._width = width
+        self._keyview_idx = keyview_idx
         kwargs.setdefault("verbose", False)
         default_layouts = [
             MVDUnstructuredDefaultLayout("default", num_views=num_views, max_views=num_views),
@@ -81,6 +84,8 @@ class SyntheticMVD(Dataset):
 
     def _init_samples(self, **kwargs):
         self.samples = [
-            SyntheticMVDSample(i, self._num_views, self._height, self._width)
+            SyntheticMVDSample(
+                i, self._num_views, self._height, self._width, self._keyview_idx
+            )
             for i in range(self._num_samples)
         ]

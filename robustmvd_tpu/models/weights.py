@@ -82,3 +82,84 @@ def convert_torch_state_dict(state: dict) -> dict:
         node[leaf] = np.asarray(w)
 
     return {"params": params}
+
+
+def convert_vis_mvsnet_torch_state_dict(state: dict) -> dict:
+    """Convert a reference VisMvsnet state_dict to this framework's tree.
+
+    Handles the UNet registry naming (rmvd/models/blocks/
+    vis_mvsnet_unet_modular.py builds "enc_blocks.<tag>_<i>" /
+    "dec_blocks.<tag>_<i>.{0: deconv, 1: post-conv, 2: residual blocks}")
+    -> the flax module names (blocks/vis_mvsnet.py: "enc_<i>.block<j>",
+    "dec_<i>_{deconv,post,res}"), splits BatchNorm statistics into the
+    ``batch_stats`` collection, and converts ConvTranspose2d/3d weights
+    (I, O, k...) to the spatially-flipped HWIO/DHWIO layout of the
+    dilated-correlation formulation (TorchDeconv).
+    """
+    import re
+
+    def rename(name):
+        name = re.sub(
+            r"unet\.enc_blocks\.[^.]*_(\d+)\.(\d+)\.", r"unet.enc_\1.block\2.", name
+        )
+        name = re.sub(
+            r"unet\.dec_blocks\.[^.]*_(\d+)\.0\.", r"unet.dec_\1_deconv.", name
+        )
+        name = re.sub(
+            r"unet\.dec_blocks\.[^.]*_(\d+)\.1\.", r"unet.dec_\1_post.", name
+        )
+        name = re.sub(
+            r"unet\.dec_blocks\.[^.]*_(\d+)\.2\.(\d+)\.",
+            r"unet.dec_\1_res.block\2.",
+            name,
+        )
+        name = name.replace("downsample.0.", "downsample_conv.")
+        name = name.replace("downsample.1.", "downsample_bn.")
+        name = name.replace("init_conv.0.", "init_conv.")
+        name = name.replace("init_conv.1.", "init_bn.")
+        name = re.sub(r"uncert_net\.conv(\d)\.0\.", r"uncert_net.conv\1_conv.", name)
+        name = re.sub(r"uncert_net\.conv(\d)\.1\.", r"uncert_net.conv\1_bn.", name)
+        name = re.sub(r"uncert_net\.head_convs\.(\d+)\.", r"uncert_net.head_\1.", name)
+        return name
+
+    params: dict = {}
+    batch_stats: dict = {}
+
+    for name, w in state.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        name = rename(name)
+        parts = name.split(".")
+        leaf = parts[-1]
+        parts = parts[:-1]
+        is_deconv = any("deconv" in p for p in parts)
+
+        coll = params
+        if leaf == "weight":
+            if w.ndim == 4:
+                if is_deconv:
+                    w = w.transpose(2, 3, 0, 1)[::-1, ::-1]
+                else:
+                    w = w.transpose(2, 3, 1, 0)
+                leaf = "kernel"
+            elif w.ndim == 5:
+                if is_deconv:
+                    # ConvTranspose3d (I,O,kd,kh,kw) -> flipped DHWIO
+                    w = w.transpose(2, 3, 4, 0, 1)[::-1, ::-1, ::-1]
+                else:
+                    # Conv3d (O,I,kd,kh,kw) -> DHWIO
+                    w = w.transpose(2, 3, 4, 1, 0)
+                leaf = "kernel"
+            else:
+                leaf = "scale"
+        elif leaf == "running_mean":
+            leaf, coll = "mean", batch_stats
+        elif leaf == "running_var":
+            leaf, coll = "var", batch_stats
+
+        node = coll
+        for p in parts:
+            node = node.setdefault(p, {})
+        node[leaf] = np.asarray(w)
+
+    return {"params": params, "batch_stats": batch_stats}
