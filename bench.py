@@ -253,6 +253,113 @@ def _bench_train_step(peak, rng):
     return entry
 
 
+def _bench_vis_train_step(peak, rng):
+    """vis_mvsnet training step (the second trainable model): batch 2,
+    1+2 views, 256x320, vismvsnet_loss + grads + adam, one program.
+    BatchNorm runs in running-average mode (frozen-BN training,
+    tests/test_vis_mvsnet_parity.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustmvd_tpu.loss import create_loss
+    from robustmvd_tpu.models import create_model
+    from robustmvd_tpu.optim import create_optimizer, create_scheduler
+    from robustmvd_tpu.optim.factory import build_optax
+
+    dtype = "bfloat16"
+    B, V, H, W = 2, 3, 256, 320
+    model = create_model(
+        "vis_mvsnet", pretrained=False, weights=None, train=True, dtype=dtype
+    )
+    loss_obj = create_loss("vismvsnet_loss")
+    opt_spec = create_optimizer("adam", model=model, lr=1e-3)
+    sched_spec = create_scheduler("mvsnet_scheduler", optimizer=opt_spec)
+    tx, _ = build_optax(opt_spec, sched_spec, grad_clip_max_norm=None)
+
+    images, poses, intrinsics, keyview_idx = _mk_inputs(
+        B, V, H, W, rng, rel_intrinsics=False
+    )
+    depth_range = (jnp.full((B,), 2.0), jnp.full((B,), 10.0))
+    sample_inputs = {
+        "images": images,
+        "poses": poses,
+        "intrinsics": intrinsics,
+        "keyview_idx": keyview_idx,
+        "depth_range": depth_range,
+    }
+    sample_gt = {
+        "depth": jnp.asarray((2.0 + 7.0 * rng.rand(B, H, W, 1)).astype(np.float32))
+    }
+    variables = model.variables
+    state = {
+        "variables": variables,
+        "opt_state": tx.init(variables["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+    @jax.jit
+    def step_fn(state, sample_inputs, sample_gt, salt):
+        variables = state["variables"]
+        si = dict(sample_inputs)
+        si["images"] = si["images"] + salt
+
+        def loss_fn(params):
+            vars_in = dict(variables)
+            vars_in["params"] = params
+            pred, aux = model.apply_fn(vars_in, **si)
+            total, _, _ = loss_obj(
+                si, sample_gt, pred, aux, iteration=state["step"], params=params
+            )
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"], variables["params"])
+        new_params = jax.tree.map(lambda p, u: p + u, variables["params"], updates)
+        new_vars = dict(variables)
+        new_vars["params"] = new_params
+        new_state = {
+            "variables": new_vars,
+            "opt_state": new_opt,
+            "step": state["step"] + 1,
+        }
+        return new_state, total
+
+    salts = [jax.device_put(jnp.float32(i) * 1e-6) for i in range(200)]
+    jax.block_until_ready(salts)
+    holder = {"state": state}
+
+    def run_iter(i):
+        holder["state"], total = step_fn(
+            holder["state"], sample_inputs, sample_gt, salts[i % 200]
+        )
+        return total
+
+    sec = _timeit(run_iter, iters=10)
+    flops = _cost_flops(step_fn, state, sample_inputs, sample_gt, salts[0])
+    entry = {
+        "metric": f"vis_mvsnet_train_step_b{B}_256x320_3views_{dtype}",
+        "value": round(B / sec, 3),
+        "unit": "samples/s",
+        "msec_per_step": round(1000 * sec, 3),
+    }
+    if flops and peak:
+        entry["mfu"] = round(flops / sec / peak, 4)
+        entry["tflops_per_step"] = round(flops / 1e12, 3)
+    return entry
+
+
+def _bench_eval_protocol():
+    """The published five-dataset eval protocol at production shapes
+    (quasi-optimal ordering, 1..V sweep, AUSE) on synthetic stand-ins —
+    per-dataset model runtime / peak HBM / XLA compile counts."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_eval_protocol import run_protocol
+
+    return run_protocol(samples=3, burn_in=2)
+
+
 def _bench_family(name, peak, rng, dtype=None, V=3, H=256, W=320):
     """MVSNet-family forward via the model's own input_adapter."""
     from robustmvd_tpu.models import create_model
@@ -308,14 +415,18 @@ def main():
         ("vis_mvsnet_bf16", lambda: _bench_family("vis_mvsnet", peak, rng, dtype="bfloat16")),
         ("cvp_mvsnet", lambda: _bench_family("cvp_mvsnet", peak, rng)),
         ("cvp_mvsnet_bf16", lambda: _bench_family("cvp_mvsnet", peak, rng, dtype="bfloat16")),
+        ("vis_train_step", lambda: _bench_vis_train_step(peak, rng)),
     ]
+    if os.environ.get("RMVD_BENCH_EVAL_PROTOCOL", "1") != "0":
+        workloads.append(("eval_protocol", _bench_eval_protocol))
 
     entries = []
     for key, fn in workloads:
         if only and not any(s in key for s in only.split(",")):
             continue
         try:
-            entries.append(fn())
+            result = fn()
+            entries.extend(result if isinstance(result, list) else [result])
         except Exception as e:  # capture, don't abort the suite
             entries.append({"metric": key, "error": f"{type(e).__name__}: {e}"})
 

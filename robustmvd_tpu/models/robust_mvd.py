@@ -202,6 +202,11 @@ class RobustMVDModule(nn.Module):
 
 
 class RobustMVD(ModelBase):
+    # input_adapter consumes device-staged (jax) per-view images directly
+    # — the eval engine uploads each sample's images once for the whole
+    # view-ordering + 1..V sweep instead of per model run
+    supports_device_images = True
+
     def __init__(self, weights=None, train=False, corr_impl="pixelscan", remat=None, dtype="float32", seed=0, **module_kwargs):
         # remat trades recompute for activation memory — only useful under
         # autodiff. Defaulting it to the train flag keeps inference/eval on
@@ -246,10 +251,17 @@ class RobustMVD(ModelBase):
                 "robust_mvd requires poses and intrinsics inputs "
                 "(pass --inputs poses intrinsics to the eval CLI)."
             )
+        import jax
+
         orig_ht, orig_wd = images[0].shape[-2:]
         ht = int(math.ceil(orig_ht / 64.0) * 64.0)
         wd = int(math.ceil(orig_wd / 64.0) * 64.0)
+        device_images = isinstance(images[0], jax.Array)
         if (orig_ht, orig_wd) != (ht, wd):
+            # resize happens host-side; device-staged images fall back
+            if device_images:
+                images = [np.asarray(img) for img in images]
+                device_images = False
             images = [np_resize_bilinear(img, (ht, wd)) for img in images]
             sx, sy = wd / orig_wd, ht / orig_ht
             intrinsics = [
@@ -272,10 +284,18 @@ class RobustMVD(ModelBase):
             intrinsics = list(intrinsics) + [intrinsics[-1]]
             num_views += 1
 
-        images_nhwc = np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+        if device_images:
+            # already on device (eval-engine staging): the normalization
+            # above ran in jnp elementwise — bit-identical to the numpy
+            # path — and the stack/transpose stays on device
+            images_nhwc = jnp.transpose(jnp.stack(images, axis=1), (0, 1, 3, 4, 2))
+        else:
+            images_nhwc = jnp.asarray(
+                np.stack(images, axis=1).transpose(0, 1, 3, 4, 2).astype(np.float32)
+            )
         B = images_nhwc.shape[0]
         sample = {
-            "images": jnp.asarray(images_nhwc),
+            "images": images_nhwc,
             "poses": jnp.asarray(np.stack(poses, axis=1).astype(np.float32)),
             "intrinsics": jnp.asarray(np.stack(intrinsics, axis=1).astype(np.float32)),
             "keyview_idx": jnp.asarray(np.asarray(keyview_idx).reshape(-1), dtype=jnp.int32),

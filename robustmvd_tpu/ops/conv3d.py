@@ -339,6 +339,9 @@ def conv3d_dz2d(x, kernel, *, stride=1):
         slices = [xp[:, dz : dz + 2 * Do - 1 : 2] for dz in range(3)]
         strides_2d = (2, 2)
 
+    # per-conv outputs stay in the operand dtype (a conv with fp32
+    # preferred_element_type over bf16 operands breaks jax's conv VJP with
+    # a dtype mismatch); the cross-partial sum accumulates in fp32
     acc = None
     for dz in range(3):
         xs = slices[dz].reshape(B * Do, H, W, C)
@@ -348,8 +351,7 @@ def conv3d_dz2d(x, kernel, *, stride=1):
             window_strides=strides_2d,
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         acc = o if acc is None else acc + o
     Ho, Wo = acc.shape[1], acc.shape[2]
     return acc.reshape(B, Do, Ho, Wo, Co).astype(x.dtype)
@@ -371,6 +373,8 @@ def conv3d_transposed_dz2d(x, kernel, *, stride=2, output_padding=1):
     pad_hi = k - 2 + output_padding
 
     def t2d(xs, ktap):
+        # operand-dtype output (see conv3d_dz2d: fp32 preferred output over
+        # bf16 operands breaks the conv VJP); fp32 cross-tap accumulation
         return jax.lax.conv_general_dilated(
             xs.reshape(-1, H, W, C),
             ktap,
@@ -378,8 +382,7 @@ def conv3d_transposed_dz2d(x, kernel, *, stride=2, output_padding=1):
             padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
             lhs_dilation=(stride, stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
 
     if stride == 1:
         Do = D + output_padding

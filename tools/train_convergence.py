@@ -12,8 +12,15 @@ images, so the model converges toward the GT inverse-depth statistics —
 the point is end-to-end optimization evidence on real hardware (grads,
 clipping, schedule, checkpointing), not benchmark accuracy.
 
-Usage: python tools/train_convergence.py [--iterations 400] [--height 384]
-       [--width 768] [--dtype bfloat16]
+The vis_mvsnet variant (--model vis_mvsnet) runs the second trainable
+model through the same engine with its own loss
+(rmvd/loss/vismvsnet_multiscale_multiview_aggregate.py) and
+ImageNet-normalized inputs + absolute intrinsics + depth_range inputs;
+BatchNorm stays in running-average mode (frozen-BN training,
+tests/test_vis_mvsnet_parity.py).
+
+Usage: python tools/train_convergence.py [--model robust_mvd]
+       [--iterations 400] [--height 384] [--width 768] [--dtype bfloat16]
 """
 
 import argparse
@@ -31,6 +38,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="robust_mvd",
+                    choices=["robust_mvd", "vis_mvsnet"])
     ap.add_argument("--iterations", type=int, default=400)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--num_views", type=int, default=5)
@@ -49,6 +58,7 @@ def main():
     from robustmvd_tpu.data import create_dataset
     from robustmvd_tpu.data.transforms import (
         Compose,
+        NormalizeImagesByShiftAndScale,
         NormalizeImagesToMinMax,
         NormalizeIntrinsics,
     )
@@ -60,27 +70,50 @@ def main():
     device_kind = jax.devices()[0].device_kind
 
     model = create_model(
-        "robust_mvd", pretrained=False, weights=None, train=True, dtype=args.dtype
+        args.model, pretrained=False, weights=None, train=True, dtype=args.dtype
     )
+    if args.model == "robust_mvd":
+        augmentations = [
+            Compose([NormalizeImagesToMinMax(-0.4, 0.6), NormalizeIntrinsics()])
+        ]
+        loss_name = "robust_mvd_loss"
+        lr = 1e-4
+        scheduler_name = "flownet_scheduler"
+        inputs = None  # engine default: images, poses, intrinsics
+    else:  # vis_mvsnet: ImageNet normalization, ABSOLUTE intrinsics,
+        # depth_range input (reference: vis_mvsnet.py:189-226)
+        augmentations = [
+            Compose(
+                [
+                    NormalizeImagesToMinMax(0.0, 1.0),
+                    NormalizeImagesByShiftAndScale(
+                        [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]
+                    ),
+                ]
+            )
+        ]
+        loss_name = "vismvsnet_loss"
+        lr = 1e-3
+        scheduler_name = "mvsnet_scheduler"
+        inputs = ["images", "poses", "intrinsics", "depth_range"]
     dataset = create_dataset(
         "synthetic.train.mvd",
         num_samples=args.num_samples,
         num_views=args.num_views,
         height=args.height,
         width=args.width,
-        augmentations=[
-            Compose([NormalizeImagesToMinMax(-0.4, 0.6), NormalizeIntrinsics()])
-        ],
+        augmentations=augmentations,
     )
-    optimizer = create_optimizer("adam", model=model, lr=1e-4)
-    scheduler = create_scheduler("flownet_scheduler", optimizer=optimizer)
-    loss = create_loss("robust_mvd_loss", model=model)
+    optimizer = create_optimizer("adam", model=model, lr=lr)
+    scheduler = create_scheduler(scheduler_name, optimizer=optimizer)
+    loss = create_loss(loss_name, model=model)
 
     losses = []
     with tempfile.TemporaryDirectory() as out_dir:
         training = MultiViewDepthTraining(
             out_dir=out_dir,
             model=model,
+            inputs=inputs,
             dataset=dataset,
             optimizer=optimizer,
             scheduler=scheduler,
@@ -112,15 +145,15 @@ def main():
     last = float(np.mean(losses[-max(1, n // 20):]))
 
     artifact = {
-        "what": "robust_mvd paper-recipe training on synthetic data",
+        "what": f"{args.model} training on synthetic data",
         "recipe": {
             "batch_size": args.batch_size,
             "views": f"1+{args.num_views - 1}",
             "size": [args.height, args.width],
-            "optimizer": "adam lr=1e-4",
-            "scheduler": "flownet_scheduler",
+            "optimizer": f"adam lr={lr}",
+            "scheduler": scheduler_name,
             "grad_clip_max_norm": 5.0,
-            "loss": "robust_mvd_loss (MAE warmup phase)",
+            "loss": loss_name,
             "dtype": args.dtype,
         },
         "device_kind": device_kind,
