@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.homography import rt_planesweep_warp
+from ..parallel.context import constrain
 from ..utils.image import resize_bilinear as np_resize_bilinear
 from .blocks.cvp_mvsnet import (
     CostRegNet,
@@ -117,8 +118,13 @@ class CVPMVSNetModule(nn.Module):
             volume_sq_sum = volume_sq_sum + warped**2
         count0 = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
         cost_volume = volume_sq_sum / count0 - (volume_sum / count0) ** 2
+        # depth-hypothesis slabs shard over the "hyp" mesh axis; the 3D
+        # regularizer partitions over D with halo exchanges and the softmax
+        # over D lowers to a global max+sum psum (SURVEY §2.10)
+        cost_volume = constrain(cost_volume, "data", "hyp")
 
         logits = cost_reg(cost_volume, train=False)  # (B, D, h, w)
+        logits = constrain(logits, "data", "hyp")
         prob_volume = jax.nn.softmax(logits, axis=1)
         depth = jnp.sum(prob_volume * depth_hypos[:, :, None, None], axis=1)  # (B,h,w)
         depth_est_list = [depth]
@@ -144,7 +150,9 @@ class CVPMVSNetModule(nn.Module):
                 hypos,
                 src_valid=src_valid,
             )
+            cost_volume = constrain(cost_volume, "data", "hyp")
             logits = cost_reg(cost_volume, train=False)
+            logits = constrain(logits, "data", "hyp")
             prob_volume = jax.nn.softmax(logits, axis=1)
             depth = jnp.sum(prob_volume * hypos, axis=1)
             depth_est_list.append(depth)
