@@ -49,6 +49,22 @@ def timeit(fn, *args, iters=20, burnin=3):
     return (time.perf_counter() - start) / iters * 1e3  # ms
 
 
+def scalarize(fn):
+    """Jit a stage so the timed program returns ONE scalar (the tunnel
+    fetch of a large stage output would otherwise dominate the timing);
+    abs-sums keep every output contributing so nothing is DCE'd."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(*args):
+        out = fn(*args)
+        leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+        return sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves)
+
+    return g
+
+
 def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     model = create_model(
@@ -90,13 +106,12 @@ def main():
     cve = DispnetCostvolumeEncoder(dtype=cdt, name="fusion_enc_block")
     dec = DispnetDecoder(dtype=cdt, name="decoder")
 
-    @jax.jit
     def stage_encoder(images):
         all_enc, _ = enc.apply({"params": p["encoder"]}, images.reshape(B * V, H, W, 3))
         return {k: v.reshape(B, V, *v.shape[1:]) for k, v in all_enc.items()}
 
-    t_enc = timeit(stage_encoder, images)
-    all_enc = stage_encoder(images)
+    t_enc = timeit(scalarize(stage_encoder), images)
+    all_enc = jax.jit(stage_encoder)(images)
     print(f"encoder ({V} views)      {t_enc:8.2f} ms")
 
     conv1_key, _ = split_key_sources(all_enc["conv1"], keyview_idx)
@@ -105,15 +120,13 @@ def main():
     K_key, K_sources = split_key_sources(intrinsics, keyview_idx)
     _, key_to_source = split_key_sources(poses, keyview_idx)
 
-    @jax.jit
     def stage_context(enc_key):
         return ctx_mod.apply({"params": p["context_encoder"]}, enc_key)
 
-    ctx = stage_context(enc_key)
-    t_ctx = timeit(stage_context, enc_key)
+    ctx = jax.jit(stage_context)(enc_key)
+    t_ctx = timeit(scalarize(stage_context), enc_key)
     print(f"context encoder        {t_ctx:8.2f} ms")
 
-    @jax.jit
     def stage_corr(enc_key, enc_sources):
         corrs, masks, _ = planesweep_correlation(
             feat_key=enc_key,
@@ -129,29 +142,26 @@ def main():
         )
         return corrs, masks
 
-    corrs, masks = stage_corr(enc_key, enc_sources)
-    t_corr = timeit(stage_corr, enc_key, enc_sources)
+    corrs, masks = jax.jit(stage_corr)(enc_key, enc_sources)
+    t_corr = timeit(scalarize(stage_corr), enc_key, enc_sources)
     print(f"planesweep correlation {t_corr:8.2f} ms")
 
-    @jax.jit
     def stage_fusion(corrs, masks):
         return fus.apply({"params": p["fusion_block"]}, corrs, masks)
 
-    fused = stage_fusion(corrs, masks)
-    t_fus = timeit(stage_fusion, corrs, masks)
+    fused = jax.jit(stage_fusion)(corrs, masks)
+    t_fus = timeit(scalarize(stage_fusion), corrs, masks)
     print(f"learned fusion         {t_fus:8.2f} ms")
 
     fused_corr = fused[0]
 
-    @jax.jit
     def stage_cve(fused_corr, ctx):
         return cve.apply({"params": p["fusion_enc_block"]}, corr=fused_corr, ctx=ctx)
 
-    all_enc_fused, enc_fused = stage_cve(fused_corr, ctx)
-    t_cve = timeit(stage_cve, fused_corr, ctx)
+    all_enc_fused, enc_fused = jax.jit(stage_cve)(fused_corr, ctx)
+    t_cve = timeit(scalarize(stage_cve), fused_corr, ctx)
     print(f"costvolume encoder     {t_cve:8.2f} ms")
 
-    @jax.jit
     def stage_dec(enc_fused, all_enc_fused, conv1_key, conv2_key):
         return dec.apply(
             {"params": p["decoder"]},
@@ -159,7 +169,7 @@ def main():
             all_enc={"conv1": conv1_key, "conv2": conv2_key, **all_enc_fused},
         )
 
-    t_dec = timeit(stage_dec, enc_fused, all_enc_fused, conv1_key, conv2_key)
+    t_dec = timeit(scalarize(stage_dec), enc_fused, all_enc_fused, conv1_key, conv2_key)
     print(f"decoder                {t_dec:8.2f} ms")
 
     total = t_enc + t_ctx + t_corr + t_fus + t_cve + t_dec
