@@ -248,7 +248,7 @@ class DTU(Dataset):
                 num_source_views=num_source_views,
                 all_combinations=all_combinations,
             )
-            self._write_samples_list()
+            self._write_samples_list(path)
 
     def _init_samples_from_root_dir(
         self, scene_names=None, num_source_views=None, all_combinations=True

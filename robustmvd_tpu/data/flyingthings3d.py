@@ -109,7 +109,7 @@ class FlyingThings3D(Dataset):
                 filtered_ids=filtered,
                 verbose=self.verbose,
             )
-            self._write_samples_list()
+            self._write_samples_list(path)
 
 
 @register_default_dataset

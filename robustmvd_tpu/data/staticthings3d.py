@@ -118,7 +118,7 @@ class StaticThings3D(Dataset):
                 filtered_ids=filtered,
                 verbose=self.verbose,
             )
-            self._write_samples_list()
+            self._write_samples_list(path)
 
 
 @register_default_dataset

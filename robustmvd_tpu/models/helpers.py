@@ -95,6 +95,15 @@ class ModelBase:
     # --- host adapters ---------------------------------------------------
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
+        """Map a host sample to model kwargs (reference: rmvd/models/helpers.py).
+
+        Contract: the passed arrays may be ALIASED into the caller's sample
+        (the eval engine's ``filter_views_in_sample`` selects per-view
+        images/poses/intrinsics by reference so device-staged images are not
+        re-uploaded per run). Adapters must therefore never mutate their
+        inputs in place — rebuild scaled intrinsics/resized images as new
+        arrays instead.
+        """
         raise NotImplementedError
 
     def output_adapter(self, model_output):

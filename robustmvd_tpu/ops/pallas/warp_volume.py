@@ -235,6 +235,12 @@ def homo_warp_pallas(src_feat, src_proj, ref_proj_inv, depth_values,
                           block_rows, bool(interpret))
 
 
+# The bwd rule differentiates the fp32 XLA path while the fwd runs the bf16
+# Pallas kernel; that inconsistency is fine for finite-difference testing but
+# must not silently leak into a training path (advisor round-4, low).
+ALLOW_TRAIN = False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _homo_warp_vjp(src_feat, src_proj, ref_proj_inv, depth_values,
                    block_rows, interpret):
@@ -252,6 +258,15 @@ def _homo_warp_fwd(src_feat, src_proj, ref_proj_inv, depth_values,
 def _homo_warp_bwd(block_rows, interpret, res, g):
     from ..homography import homo_warp
 
+    if not ALLOW_TRAIN:
+        raise NotImplementedError(
+            "homo_warp_pallas backward: the VJP differentiates the fp32 XLA "
+            "homo_warp while the forward ran the bf16 Pallas kernel, so "
+            "gradients would not match the computed forward. Use "
+            "ops.homography.homo_warp for training, or set "
+            "robustmvd_tpu.ops.pallas.warp_volume.ALLOW_TRAIN = True to "
+            "accept the mismatch explicitly."
+        )
     src_feat, src_proj, ref_proj_inv, depth_values = res
 
     def f(src_feat, src_proj, ref_proj_inv, depth_values):

@@ -38,6 +38,39 @@ def rng():
     return np.random.RandomState(42)
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _protect_bundled_sample_lists():
+    """Fail the session loudly if any bundled manifest is overwritten.
+
+    A round-4 test monkeypatched only the *read* path of the DTU sample-list
+    resolution and silently replaced the bundled 27097-sample training
+    manifest with a 21-sample fixture. Guard the whole directory by hash.
+    """
+    import glob
+    import hashlib
+
+    list_dir = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)),
+        "..", "robustmvd_tpu", "data", "sample_lists",
+    )
+    paths = sorted(glob.glob(os.path.join(list_dir, "*.pickle")))
+
+    def digest():
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in paths
+        }
+
+    before = digest()
+    yield
+    after = digest()
+    changed = [p for p in before if after.get(p) != before[p]]
+    new = [p for p in after if p not in before]
+    assert not changed and not new, (
+        f"tests modified bundled sample lists: changed={changed} new={new}; "
+        "restore them from git and fix the offending test's path patching"
+    )
+
+
 @pytest.fixture
 def cpu_devices():
     return jax.devices("cpu")
