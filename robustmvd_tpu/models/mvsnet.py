@@ -53,6 +53,27 @@ class MVSNetModule(nn.Module):
     # 3x3x3 stride-1 conv lowering inside CostRegNet: "xla" or the
     # lane-packed "banded"/"packed" (ops/conv3d.py) — same parameters
     conv3d_impl: str = "dz2d"
+    # warp+variance stage: "auto" picks the fused banded-MXU Pallas kernel
+    # (ops/pallas/sweep_warp.py) on TPU in the scan path — zero gathers,
+    # no per-view warped volumes in HBM; "xla" forces the homo_warp scan
+    # (always used under view_parallel, whose GSPMD sharding the Pallas
+    # call would break, and on non-TPU backends)
+    warp_impl: str = "auto"
+
+    def _use_fused_warp(self):
+        """Resolve warp_impl at trace time (static decision)."""
+        if self.warp_impl == "xla":
+            return False
+        if self.warp_impl in ("pallas_fused", "pallas"):
+            return True
+        # "auto": the Mosaic kernel needs a real TPU (tests route to CPU
+        # via jax_default_device; interpret mode would be pathologically
+        # slow at D=256)
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None else jax.default_backend()
+        )
+        return platform == "tpu"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None):
@@ -90,7 +111,11 @@ class MVSNetModule(nn.Module):
         # (model stride), proj = [K@pose[:3,:4]; 0 0 0 1]; invert the key's.
         scale = jnp.asarray([[0.25] * 3, [0.25] * 3, [1.0] * 3], dtype)
         K_scaled = intrinsics * scale  # (B, V, 3, 3)
-        top = jnp.einsum("bvij,bvjk->bvik", K_scaled, poses[:, :, :3, :4])
+        # VPU contraction: an einsum would round the projection entries to
+        # bf16 on the MXU (~0.03 px of sampling error, ops/homography.py)
+        top = jnp.sum(
+            K_scaled[:, :, :, :, None] * poses[:, :, None, :3, :4], axis=3
+        )
         bottom = jnp.broadcast_to(
             jnp.asarray([0, 0, 0, 1], dtype).reshape(1, 1, 1, 4), (B, V, 1, 4)
         )
@@ -141,6 +166,25 @@ class MVSNetModule(nn.Module):
             volume_sq_sum = ref_volume.astype(jnp.float32) ** 2 + jnp.sum(
                 warped32**2, axis=1
             )
+        elif self._use_fused_warp():
+            # fused banded-MXU warp+variance: the whole stage is one Pallas
+            # kernel; per-view warped volumes never exist in HBM
+            from ..ops.pallas.sweep_warp import warp_variance
+
+            volume_variance = warp_variance(
+                ref_feats,
+                src_feats,
+                proj_src,
+                proj_key,
+                depth_samples.astype(jnp.float32),
+                src_valid=src_valid,
+                # accumulation is f32 in-kernel; write directly in the
+                # CostRegNet compute dtype (the scan path also casts the
+                # f32 variance to cdt before the regularizer)
+                out_dtype=cdt,
+            )
+            volume_variance = constrain(volume_variance, "data", "hyp")
+            volume_sum = None  # not materialized on this path
         else:
             volume_sum = ref_volume.astype(jnp.float32)
             volume_sq_sum = volume_sum**2
@@ -166,12 +210,13 @@ class MVSNetModule(nn.Module):
                     jnp.moveaxis(src_valid, 1, 0),
                 ),
             )
-        count = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
-        volume_variance = volume_sq_sum / count - (volume_sum / count) ** 2
-        # depth-hypothesis slabs across the "hyp" mesh axis: the 3D
-        # regularizer partitions over D with halo exchanges, and the
-        # softmax/expectation over D lowers to a global max+sum psum
-        volume_variance = constrain(volume_variance, "data", "hyp")
+        if volume_sum is not None:
+            count = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
+            volume_variance = volume_sq_sum / count - (volume_sum / count) ** 2
+            # depth-hypothesis slabs across the "hyp" mesh axis: the 3D
+            # regularizer partitions over D with halo exchanges, and the
+            # softmax/expectation over D lowers to a global max+sum psum
+            volume_variance = constrain(volume_variance, "data", "hyp")
 
         # 3D regularization + probability volume
         cost_reg = CostRegNet(dtype=cdt, conv3d_impl=self.conv3d_impl, name="cost_regularization")(

@@ -122,7 +122,16 @@ def main():
     src_feats = feats[:, 1:]
     h, w, F = ref_feats.shape[1:]
 
+    use_fused = os.environ.get("BENCH_WARP_IMPL", "pallas") == "pallas"
+
     def stage_variance(ref_feats, src_feats):
+        if use_fused:
+            from robustmvd_tpu.ops.pallas.sweep_warp import warp_variance
+
+            return warp_variance(
+                ref_feats, src_feats, proj_src, proj_key, depth_samples,
+                out_dtype=cdt,
+            )
         ref_volume = jnp.broadcast_to(ref_feats[:, None], (B, D, h, w, F))
         volume_sum = ref_volume.astype(jnp.float32)
         volume_sq_sum = volume_sum**2
