@@ -385,6 +385,16 @@ class MultiViewDepthEvaluation:
                     mem_mib = int(stats["peak_bytes_in_use"] / 1024 / 1024)
             except Exception:
                 pass
+        if valid and not np.isfinite(mem_mib) and hasattr(
+            self.model, "peak_memory_mib"
+        ):
+            # runtime stats unavailable on this backend (the tunneled TPU
+            # returns None): fall back to XLA's compile-time memory
+            # analysis for this shape bucket (cached in the model)
+            try:
+                mem_mib = float(self.model.peak_memory_mib(**adapted))
+            except Exception:
+                pass
         dev_mem = {"device_mem_peak_in_mib": mem_mib}
         return pred, runtimes, dev_mem
 

@@ -92,6 +92,39 @@ class ModelBase:
     def __call__(self, **sample):
         return self.forward(**sample)
 
+    def peak_memory_mib(self, **sample):
+        """Compile-time peak device memory (MiB) for this sample's shapes.
+
+        Fallback for backends where ``device.memory_stats()`` returns None
+        (e.g. the tunneled TPU backend): lower+compile the same jitted
+        forward AOT and read XLA's ``memory_analysis`` — peak = temps +
+        arguments + outputs - aliased (reference reports per-sample
+        allocated/reserved MiB, rmvd/eval/multi_view_depth_evaluation.py:
+        458-461). Cached per shape bucket; the persistent compilation
+        cache makes the extra compile cheap after the forward itself.
+        """
+        if self._jitted_apply is None:
+            self._jitted_apply = jax.jit(lambda v, s: self.apply_fn(v, **s))
+        key = tuple(
+            (k, tuple(np.shape(v)), str(getattr(v, "dtype", type(v).__name__)))
+            for k, v in sorted(sample.items())
+            if v is not None
+        )
+        cache = getattr(self, "_mem_analysis_cache", None)
+        if cache is None:
+            cache = self._mem_analysis_cache = {}
+        if key not in cache:
+            compiled = self._jitted_apply.lower(self.variables, sample).compile()
+            ma = compiled.memory_analysis()
+            peak = (
+                ma.temp_size_in_bytes
+                + ma.argument_size_in_bytes
+                + ma.output_size_in_bytes
+                - ma.alias_size_in_bytes
+            )
+            cache[key] = peak / 2**20
+        return cache[key]
+
     # --- host adapters ---------------------------------------------------
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):

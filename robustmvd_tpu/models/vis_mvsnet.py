@@ -167,8 +167,13 @@ class VisMvsnetModule(nn.Module):
 
 
 class VisMvsnet(ModelBase):
-    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="banded"):
-        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=False, dtype=dtype, conv3d_impl=conv3d_impl)
+    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="banded", bn_mode="batch"):
+        """bn_mode: "batch" updates BatchNorm running stats during training
+        (the reference's model.train() semantics, rmvd/models/helpers.py:
+        156-160 + vis_mvsnet_unet_modular.py BatchNorm2d/3d); "frozen"
+        keeps running averages even in train mode."""
+        train_bn = bool(train) and bn_mode == "batch"
+        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=train_bn, dtype=dtype, conv3d_impl=conv3d_impl)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 2, 64, 64, 3)),
@@ -183,14 +188,35 @@ class VisMvsnet(ModelBase):
 
             variables = convert_torch_checkpoint(weights)
         super().__init__(module, variables, train=train)
+        # the trainer threads updated running stats through the step when
+        # this is set (see train/multi_view_depth_training.py)
+        self.has_mutable_bn = train_bn
 
     def apply_fn(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None, **_):
         if depth_range is None:
             B = images.shape[0]
             depth_range = (jnp.full((B,), 0.2), jnp.full((B,), 100.0))
+        if self.has_mutable_bn:
+            out, _ = self.module.apply(
+                variables, images, poses, intrinsics, keyview_idx, depth_range,
+                num_views, mutable=["batch_stats"],
+            )
+            return out
         return self.module.apply(
             variables, images, poses, intrinsics, keyview_idx, depth_range, num_views
         )
+
+    def apply_fn_mutable(self, variables, images, poses, intrinsics, keyview_idx, depth_range=None, num_views=None, **_):
+        """Like apply_fn, but also returns the updated batch_stats
+        collection (batch-stats BN training mode)."""
+        if depth_range is None:
+            B = images.shape[0]
+            depth_range = (jnp.full((B,), 0.2), jnp.full((B,), 100.0))
+        out, mutated = self.module.apply(
+            variables, images, poses, intrinsics, keyview_idx, depth_range,
+            num_views, mutable=["batch_stats"],
+        )
+        return out, mutated["batch_stats"]
 
     def input_adapter(self, images, keyview_idx, poses=None, intrinsics=None, depth_range=None):
         """Multiple-of-64 resize + ImageNet normalization + RGB->BGR flip

@@ -180,6 +180,14 @@ class MultiViewDepthTraining:
         tx = self.tx
         model = self.model
 
+        # batch-stats BN training (reference model.train() semantics,
+        # rmvd/models/helpers.py:156-160): the model exposes a mutable
+        # apply that also returns updated running statistics, threaded
+        # through the step into the next state's variables
+        mutable_bn = bool(getattr(model, "has_mutable_bn", False)) and hasattr(
+            model, "apply_fn_mutable"
+        )
+
         def step_fn(state, sample_inputs, sample_gt):
             variables = state["variables"]
             step = state["step"]
@@ -187,15 +195,21 @@ class MultiViewDepthTraining:
             def loss_fn(params):
                 vars_in = dict(variables)
                 vars_in["params"] = params
-                pred, aux = model.apply_fn(vars_in, **sample_inputs)
+                if mutable_bn:
+                    (pred, aux), new_stats = model.apply_fn_mutable(
+                        vars_in, **sample_inputs
+                    )
+                else:
+                    pred, aux = model.apply_fn(vars_in, **sample_inputs)
+                    new_stats = None
                 total, sub_losses, _ = loss_obj(
                     sample_inputs, sample_gt, pred, aux, iteration=step, params=params
                 )
-                return total, sub_losses
+                return total, (sub_losses, new_stats)
 
-            (total, sub_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                variables["params"]
-            )
+            (total, (sub_losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(variables["params"])
             updates, new_opt_state = tx.update(
                 grads, state["opt_state"], variables["params"]
             )
@@ -204,6 +218,8 @@ class MultiViewDepthTraining:
             new_params = optax.apply_updates(variables["params"], updates)
             new_variables = dict(variables)
             new_variables["params"] = new_params
+            if mutable_bn and new_stats is not None:
+                new_variables["batch_stats"] = jax.lax.stop_gradient(new_stats)
             new_state = {
                 "variables": new_variables,
                 "opt_state": new_opt_state,

@@ -107,6 +107,16 @@ def run_protocol(model=None, samples=4, burn_in=2, dtype="bfloat16", verbose=Fal
                 mem_gb = round(stats["peak_bytes_in_use"] / 2**30, 3)
         except Exception:
             pass
+        if mem_gb is None:
+            # runtime stats unavailable (tunneled backend): take the max of
+            # the engine's per-sample compile-time memory analysis column
+            try:
+                mem_col = result.loc[:, (slice(None), "device_mem_peak_in_mib")]
+                peak_mib = float(mem_col.max().max())
+                if peak_mib == peak_mib:  # not NaN
+                    mem_gb = round(peak_mib / 1024, 3)
+            except Exception:
+                pass
 
         rows.append(
             {
