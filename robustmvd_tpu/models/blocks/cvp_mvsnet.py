@@ -258,12 +258,17 @@ def cal_depth_hypos(
     return ref_depths[:, None] + levels[None, :, None, None] * interval[:, None, None, None]
 
 
-def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, depth_hypos, src_valid=None):
+def proj_cost_volume(
+    ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, depth_hypos,
+    src_valid=None, impl="xla", out_dtype=None,
+):
     """Variance cost volume across views with per-pixel hypotheses
 
     (reference: :375-456). ref_feature: (B, H, W, C); src_features: list of
     (B, H, W, C); depth_hypos: (B, D, H, W); src_valid: optional (B, nsrc)
-    validity for padded view slots. Returns (B, D, H, W, C)."""
+    validity for padded view slots; impl: "xla" (rt_planesweep_warp loop)
+    or "pallas_fused" (banded-MXU fused kernel, ops/pallas/sweep_warp.py).
+    Returns (B, D, H, W, C)."""
     B, H, W, C = ref_feature.shape
     D = depth_hypos.shape[1]
     nsrc = len(src_features)
@@ -271,10 +276,10 @@ def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, 
     if src_valid is None:
         src_valid = jnp.ones((B, nsrc), dtype)
 
-    hypos_flat = depth_hypos.reshape(B, D, H * W)
-
     def proj_mat(K, ex):
-        top = jnp.einsum("bij,bjk->bik", K, ex[:, :3, :])
+        # VPU contraction: an einsum would round the projection entries to
+        # bf16 on the MXU (~0.03 px sampling error, ops/homography.py)
+        top = jnp.sum(K[:, :, :, None] * ex[:, None, :3, :], axis=2)
         bottom = jnp.broadcast_to(
             jnp.asarray([0, 0, 0, 1], dtype).reshape(1, 1, 4), (B, 1, 4)
         )
@@ -283,6 +288,28 @@ def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, 
     ref_proj = proj_mat(ref_K, ref_ex)
     ref_proj_inv = jnp.linalg.inv(ref_proj)
 
+    def src_from_ref(src_idx):
+        p = proj_mat(src_Ks[:, src_idx], src_exs[:, src_idx])
+        return jnp.sum(p[:, :, :, None] * ref_proj_inv[:, None, :, :], axis=2)
+
+    if impl == "pallas_fused":
+        from ...ops.pallas.sweep_warp import warp_variance_dense
+
+        projs = jnp.stack(
+            [src_from_ref(i) for i in range(nsrc)], axis=1
+        )  # (B, nsrc, 4, 4)
+        return warp_variance_dense(
+            ref_feature,
+            jnp.stack(src_features, axis=1),
+            projs[:, :, :3, :3],
+            projs[:, :, :3, 3],
+            depth_hypos,
+            src_valid=src_valid,
+            out_dtype=out_dtype or jnp.float32,
+            band=4,
+        )
+
+    hypos_flat = depth_hypos.reshape(B, D, H * W)
     ref_volume = jnp.broadcast_to(ref_feature[:, None], (B, D, H, W, C))
     # fp32 variance accumulation regardless of feature dtype (bf16
     # E[x^2]-E[x]^2 cancels catastrophically)
@@ -290,7 +317,7 @@ def proj_cost_volume(ref_feature, src_features, ref_K, src_Ks, ref_ex, src_exs, 
     volume_sq_sum = volume_sum**2
 
     for src_idx in range(nsrc):
-        proj = proj_mat(src_Ks[:, src_idx], src_exs[:, src_idx]) @ ref_proj_inv
+        proj = src_from_ref(src_idx)
         rot = proj[:, :3, :3]
         trans = proj[:, :3, 3]
         warped = rt_planesweep_warp(src_features[src_idx], rot, trans, hypos_flat)

@@ -326,6 +326,21 @@ class SingleStage(nn.Module):
 
     dtype: object = jnp.float32
     conv3d_impl: str = "xla"
+    # "auto" fuses the per-pair homography warp + group-wise correlation
+    # into the banded-MXU Pallas kernel on TPU (ops/pallas/sweep_warp.py);
+    # "xla" keeps the get_homographies + homography_warping path
+    warp_impl: str = "auto"
+
+    def _use_fused_warp(self):
+        if self.warp_impl == "xla":
+            return False
+        if self.warp_impl in ("pallas_fused", "pallas"):
+            return True
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None else jax.default_backend()
+        )
+        return platform == "tpu"
 
     @nn.compact
     def __call__(
@@ -385,22 +400,49 @@ class SingleStage(nn.Module):
             valid = src_valid[view_idx].reshape(B, 1, 1, 1, 1)
             ref_cam_s = scale_camera(ref_cam, 1 / s_scale)
             src_cam_s = scale_camera(src_cam, 1 / s_scale)
-            Hs = get_homographies(
-                ref_cam_s, src_cam_s, depth_num, depth_start, depth_interval
-            )  # (B, D, H', W', 3, 3)
+            d_sched = depth_start + depth_interval * jnp.arange(
+                depth_num, dtype=jnp.float32
+            ).reshape(1, depth_num, 1, 1)  # (B, D, H', W')
 
-            # warp all D hypotheses at once: fold D into batch
-            src_rep = jnp.broadcast_to(src_feat[:, None], (B, depth_num, h, w, C))
-            src_rep = src_rep.reshape(B * depth_num, h, w, C)
-            Hp, Wp = Hs.shape[2], Hs.shape[3]
-            if (Hp, Wp) == (1, 1):
-                H_flat = Hs.reshape(B * depth_num, 3, 3)
+            if self._use_fused_warp():
+                # fused banded-MXU warp + group-wise correlation: the
+                # homography is affine in inverse depth, H = A + B/(d+1e-9)
+                from ...ops.homography import get_homography_coeffs
+                from ...ops.homography import _mm as _mm33
+                from ...ops.pallas.sweep_warp import homography_group_cost
+
+                Amat, Bmat = get_homography_coeffs(ref_cam_s, src_cam_s)
+                # fold the +0.5 pixel-center grid offset into the coeffs
+                S = jnp.asarray(
+                    [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]],
+                    jnp.float32,
+                )[None]
+                Amat = _mm33(Amat, S)
+                Bmat = _mm33(Bmat, S)
+                w_dense = jnp.broadcast_to(
+                    1.0 / (d_sched + 1e-9), (B, depth_num, h, w)
+                )
+                cost_volume = homography_group_cost(
+                    ref_feat, src_feat, Amat, Bmat, w_dense, groups=8,
+                    out_dtype=dtype,
+                )
             else:
-                H_flat = Hs.reshape(B * depth_num, Hp, Wp, 3, 3)
-            warped = homography_warping(src_rep, H_flat)
-            warped = warped.reshape(B, depth_num, h, w, C)
+                Hs = get_homographies(
+                    ref_cam_s, src_cam_s, depth_num, depth_start, depth_interval
+                )  # (B, D, H', W', 3, 3)
 
-            cost_volume = groupwise_correlation(ref_vol, warped, 8, axis=-1)
+                # warp all D hypotheses at once: fold D into batch
+                src_rep = jnp.broadcast_to(src_feat[:, None], (B, depth_num, h, w, C))
+                src_rep = src_rep.reshape(B * depth_num, h, w, C)
+                Hp, Wp = Hs.shape[2], Hs.shape[3]
+                if (Hp, Wp) == (1, 1):
+                    H_flat = Hs.reshape(B * depth_num, 3, 3)
+                else:
+                    H_flat = Hs.reshape(B * depth_num, Hp, Wp, 3, 3)
+                warped = homography_warping(src_rep, H_flat)
+                warped = warped.reshape(B, depth_num, h, w, C)
+
+                cost_volume = groupwise_correlation(ref_vol, warped, 8, axis=-1)
             # depth-hypothesis slabs across the "hyp" mesh axis (no-op
             # off-mesh): the 3D regs partition over D with halo exchanges,
             # soft_argmin's softmax lowers to a global max+sum psum

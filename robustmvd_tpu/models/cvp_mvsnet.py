@@ -50,6 +50,21 @@ class CVPMVSNetModule(nn.Module):
     # 3x3x3 stride-1 conv lowering in CostRegNet: "xla" or lane-packed
     # "banded"/"packed" (ops/conv3d.py) — same parameters either way
     conv3d_impl: str = "xla"
+    # warp+variance stage: "auto" picks the fused banded-MXU Pallas kernel
+    # (ops/pallas/sweep_warp.py) on TPU — zero gathers, no per-view warped
+    # volumes in HBM; "xla" forces the rt_planesweep_warp loops
+    warp_impl: str = "auto"
+
+    def _use_fused_warp(self):
+        if self.warp_impl == "xla":
+            return False
+        if self.warp_impl in ("pallas_fused", "pallas"):
+            return True
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None else jax.default_backend()
+        )
+        return platform == "tpu"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, min_depth, max_depth, num_views=None):
@@ -89,35 +104,66 @@ class CVPMVSNetModule(nn.Module):
 
         ref_feat = ref_fp[-1]
         h0, w0 = ref_feat.shape[1], ref_feat.shape[2]
-        ref_volume = jnp.broadcast_to(
-            ref_feat[:, None], (B, D0, h0, w0, ref_feat.shape[-1])
-        )
-        # fp32 variance accumulation (E[x^2]-E[x]^2 cancels catastrophically
-        # in bf16)
-        volume_sum = ref_volume.astype(jnp.float32)
-        volume_sq_sum = volume_sum**2
+        use_fused = self._use_fused_warp()
 
         def proj_mat(K, ex):
-            top = jnp.einsum("bij,bjk->bik", K, ex[:, :3, :])
+            # VPU contraction: an einsum would round the projection entries
+            # to bf16 on the MXU (~0.03 px sampling error, ops/homography.py)
+            top = jnp.sum(K[:, :, :, None] * ex[:, None, :3, :], axis=2)
             bottom = jnp.broadcast_to(
                 jnp.asarray([0, 0, 0, 1], dtype).reshape(1, 1, 4), (B, 1, 4)
             )
             return jnp.concatenate([top, bottom], axis=1)
 
-        ref_proj_inv = jnp.linalg.inv(proj_mat(ref_K_ms[:, -1], pose_key))
-        for i in range(nsrc):
-            proj = proj_mat(src_K_ms[:, i, -1], poses_src[:, i]) @ ref_proj_inv
-            warped = rt_planesweep_warp(
-                src_fps[i][-1], proj[:, :3, :3], proj[:, :3, 3], depth_hypos
+        def src_from_ref(K_src, pose_src, ref_proj_inv):
+            p = proj_mat(K_src, pose_src)
+            return jnp.sum(
+                p[:, :, :, None] * ref_proj_inv[:, None, :, :], axis=2
             )
-            # barrier: keep XLA from duplicating the warp gather into both
-            # the sum and square consumers (see blocks/cvp_mvsnet.py)
-            warped = jax.lax.optimization_barrier(warped)
-            warped = warped.astype(jnp.float32) * src_valid[:, i].reshape(B, 1, 1, 1, 1)
-            volume_sum = volume_sum + warped
-            volume_sq_sum = volume_sq_sum + warped**2
-        count0 = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
-        cost_volume = volume_sq_sum / count0 - (volume_sum / count0) ** 2
+
+        ref_proj_inv = jnp.linalg.inv(proj_mat(ref_K_ms[:, -1], pose_key))
+        if use_fused:
+            from ..ops.pallas.sweep_warp import warp_variance_rt
+
+            projs = jnp.stack(
+                [
+                    src_from_ref(src_K_ms[:, i, -1], poses_src[:, i], ref_proj_inv)
+                    for i in range(nsrc)
+                ],
+                axis=1,
+            )  # (B, nsrc, 4, 4)
+            cost_volume = warp_variance_rt(
+                ref_feat,
+                jnp.stack([src_fps[i][-1] for i in range(nsrc)], axis=1),
+                projs[:, :, :3, :3],
+                projs[:, :, :3, 3],
+                depth_hypos,
+                src_valid=src_valid,
+                out_dtype=cdt,
+                dc=min(16, D0),
+                band=4,
+            )
+        else:
+            ref_volume = jnp.broadcast_to(
+                ref_feat[:, None], (B, D0, h0, w0, ref_feat.shape[-1])
+            )
+            # fp32 variance accumulation (E[x^2]-E[x]^2 cancels
+            # catastrophically in bf16)
+            volume_sum = ref_volume.astype(jnp.float32)
+            volume_sq_sum = volume_sum**2
+            for i in range(nsrc):
+                proj = src_from_ref(src_K_ms[:, i, -1], poses_src[:, i], ref_proj_inv)
+                warped = rt_planesweep_warp(
+                    src_fps[i][-1], proj[:, :3, :3], proj[:, :3, 3], depth_hypos
+                )
+                # barrier: keep XLA from duplicating the warp gather into
+                # both the sum and square consumers (see blocks/cvp_mvsnet.py)
+                warped = jax.lax.optimization_barrier(warped)
+                warped = warped.astype(jnp.float32) * src_valid[:, i].reshape(B, 1, 1, 1, 1)
+                volume_sum = volume_sum + warped
+                volume_sq_sum = volume_sq_sum + warped**2
+            count0 = (1.0 + jnp.sum(src_valid, axis=1)).reshape(B, 1, 1, 1, 1)
+            cost_volume = volume_sq_sum / count0 - (volume_sum / count0) ** 2
         # depth-hypothesis slabs shard over the "hyp" mesh axis; the 3D
         # regularizer partitions over D with halo exchanges and the softmax
         # over D lowers to a global max+sum psum (SURVEY §2.10)
@@ -149,6 +195,8 @@ class CVPMVSNetModule(nn.Module):
                 poses_src,
                 hypos,
                 src_valid=src_valid,
+                impl="pallas_fused" if use_fused else "xla",
+                out_dtype=cdt,
             )
             cost_volume = constrain(cost_volume, "data", "hyp")
             logits = cost_reg(cost_volume, train=False)
@@ -178,8 +226,11 @@ class CVPMVSNetModule(nn.Module):
 
 
 class CVPMVSNet(ModelBase):
-    def __init__(self, nscale=5, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="xla", **_):
-        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test", dtype=dtype, conv3d_impl=conv3d_impl)
+    def __init__(self, nscale=5, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="xla", warp_impl="auto", **_):
+        if train:
+            # the fused warp kernel is forward-only (no VJP yet)
+            warp_impl = "xla"
+        module = CVPMVSNetModule(nscale=nscale, mode="train" if train else "test", dtype=dtype, conv3d_impl=conv3d_impl, warp_impl=warp_impl)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 3, 64, 64, 3)),

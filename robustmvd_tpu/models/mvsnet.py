@@ -250,7 +250,10 @@ class MVSNetModule(nn.Module):
 
 
 class MVSNet(ModelBase):
-    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="dz2d"):
+    def __init__(self, sample_in_inv_depth_space=False, num_sampling_steps=192, weights=None, train=False, seed=0, view_parallel=False, dtype="float32", conv3d_impl="dz2d", warp_impl="auto"):
+        if train:
+            # the fused warp kernel is forward-only (no VJP yet)
+            warp_impl = "xla"
         module = MVSNetModule(
             sample_in_inv_depth_space=sample_in_inv_depth_space,
             num_sampling_steps=num_sampling_steps,
@@ -258,6 +261,7 @@ class MVSNet(ModelBase):
             view_parallel=view_parallel,
             dtype=dtype,
             conv3d_impl=conv3d_impl,
+            warp_impl=warp_impl,
         )
         rng = jax.random.PRNGKey(seed)
         dummy = {

@@ -44,6 +44,9 @@ class VisMvsnetModule(nn.Module):
     # 3x3x3 stride-1 conv lowering in the 3D regularizers: "xla" or the
     # lane-packed "banded"/"packed" (ops/conv3d.py) — same parameters
     conv3d_impl: str = "banded"
+    # per-pair warp+groupwise-correlation: "auto" fuses into the banded-MXU
+    # Pallas kernel on TPU (forward-only; training forces "xla")
+    warp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, images, poses, intrinsics, keyview_idx, depth_range, num_views=None):
@@ -100,7 +103,7 @@ class VisMvsnetModule(nn.Module):
         else:
             src_valid = None
 
-        est_depth_1, prob_map_1, pair_results_1 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, name="stage1")(
+        est_depth_1, prob_map_1, pair_results_1 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, warp_impl=self.warp_impl, name="stage1")(
             ref1, cam_key, srcs1, srcs_cam,
             depth_num=depth_nums[0],
             mode=self.mode,
@@ -117,7 +120,7 @@ class VisMvsnetModule(nn.Module):
             _resize_map(jax.lax.stop_gradient(est_depth_1), size2)
             - depth_nums[1] * depth_interval * interval_scales[1] / 2
         )
-        est_depth_2, prob_map_2, pair_results_2 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, name="stage2")(
+        est_depth_2, prob_map_2, pair_results_2 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, warp_impl=self.warp_impl, name="stage2")(
             ref2, cam_key, srcs2, srcs_cam,
             depth_num=depth_nums[1],
             mode=self.mode,
@@ -134,7 +137,7 @@ class VisMvsnetModule(nn.Module):
             _resize_map(jax.lax.stop_gradient(est_depth_2), size3)
             - depth_nums[2] * depth_interval * interval_scales[2] / 2
         )
-        est_depth_3, prob_map_3, pair_results_3 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, name="stage3")(
+        est_depth_3, prob_map_3, pair_results_3 = SingleStage(dtype=cdt, conv3d_impl=self.conv3d_impl, warp_impl=self.warp_impl, name="stage3")(
             ref3, cam_key, srcs3, srcs_cam,
             depth_num=depth_nums[2],
             mode=self.mode,
@@ -167,13 +170,17 @@ class VisMvsnetModule(nn.Module):
 
 
 class VisMvsnet(ModelBase):
-    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="banded", bn_mode="batch"):
+    def __init__(self, num_sampling_steps=192, weights=None, train=False, seed=0, dtype="float32", conv3d_impl="banded", bn_mode="batch", warp_impl="auto"):
         """bn_mode: "batch" updates BatchNorm running stats during training
         (the reference's model.train() semantics, rmvd/models/helpers.py:
         156-160 + vis_mvsnet_unet_modular.py BatchNorm2d/3d); "frozen"
         keeps running averages even in train mode."""
         train_bn = bool(train) and bn_mode == "batch"
-        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=train_bn, dtype=dtype, conv3d_impl=conv3d_impl)
+        if train:
+            # the fused warp kernel is forward-only (no VJP yet);
+            # training differentiates through the warp, so keep the XLA path
+            warp_impl = "xla"
+        module = VisMvsnetModule(num_sampling_steps=num_sampling_steps, train_bn=train_bn, dtype=dtype, conv3d_impl=conv3d_impl, warp_impl=warp_impl)
         rng = jax.random.PRNGKey(seed)
         dummy = {
             "images": jnp.zeros((1, 2, 64, 64, 3)),

@@ -198,6 +198,39 @@ def get_homographies(left_cam, right_cam, depth_num, depth_start, depth_interval
     return homographies
 
 
+def get_homography_coeffs(left_cam, right_cam):
+    """Affine decomposition of :func:`get_homographies`:
+
+    H(depth) = A + B / (depth + 1e-9) with
+    A = K_r R_r R_lᵀ K_l⁻¹ and B = -K_r R_r (c_rel frontoᵀ) R_lᵀ K_l⁻¹
+    (same camera-tensor convention; reference: blocks/utils.py:95-150).
+    Feeds the fused banded-MXU warp kernel, which evaluates per-lane
+    coefficients A + B*w with w = 1/(depth+1e-9).
+
+    Returns (A, B): (B, 3, 3) float32 each.
+    """
+    R_left = left_cam[:, 0, :3, :3]
+    R_right = right_cam[:, 0, :3, :3]
+    t_left = left_cam[:, 0, :3, 3:4]
+    t_right = right_cam[:, 0, :3, 3:4]
+    K_left = left_cam[:, 1, :3, :3]
+    K_right = right_cam[:, 1, :3, :3]
+
+    K_left_inv = jnp.linalg.inv(K_left.astype(jnp.float32))
+    R_left_trans = jnp.swapaxes(R_left, -2, -1).astype(jnp.float32)
+    R_right_trans = jnp.swapaxes(R_right, -2, -1).astype(jnp.float32)
+
+    fronto = R_left[:, 2:3, :3].astype(jnp.float32)
+    c_rel = -_mm(R_right_trans, t_right.astype(jnp.float32)) + _mm(
+        R_left_trans, t_left.astype(jnp.float32)
+    )
+    KrRr = _mm(K_right.astype(jnp.float32), R_right.astype(jnp.float32))
+    RlTKli = _mm(R_left_trans, K_left_inv)
+    A = _mm(KrRr, RlTKli)
+    Bm = -_mm(KrRr, _mm(_mm(c_rel, fronto), RlTKli))
+    return A, Bm
+
+
 def homography_warping(feat, H_mat):
     """Warp (B, H, W, C) features by 3x3 homographies.
 
