@@ -394,10 +394,9 @@ class SingleStage(nn.Module):
         if src_valid is None:
             src_valid = [jnp.ones((B,), dtype)] * len(srcs_feat)
 
+        # ---- phase 1: per-pair cost volumes --------------------------------
+        cost_volumes = []
         for view_idx, (src_feat, src_cam) in enumerate(zip(srcs_feat, srcs_cam)):
-            # per-view validity scalar for padded view slots: invalid views
-            # contribute zero fusion weight (soft/hard/average modes)
-            valid = src_valid[view_idx].reshape(B, 1, 1, 1, 1)
             ref_cam_s = scale_camera(ref_cam, 1 / s_scale)
             src_cam_s = scale_camera(src_cam, 1 / s_scale)
             d_sched = depth_start + depth_interval * jnp.arange(
@@ -447,20 +446,60 @@ class SingleStage(nn.Module):
             # off-mesh): the 3D regs partition over D with halo exchanges,
             # soft_argmin's softmax lowers to a global max+sum psum
             cost_volume = constrain(cost_volume, "data", "hyp")
-            interm = reg(cost_volume, train=train)  # (B, D, h, w, 8)
-            score_volume = reg_pair(interm)[..., 0]  # (B, D, h, w)
-            prob_volume, est_depth_class = soft_argmin(score_volume, axis=1, keepdims=True)
-            est_depth = est_depth_class * depth_interval + depth_start  # (B, 1, h, w)
-            ent = entropy(prob_volume, axis=1, keepdims=True)  # (B, 1, h, w)
-            heads = uncert_net(
-                jnp.transpose(ent, (0, 2, 3, 1)), train=train
-            )  # list of (B, h, w, 1)
-            heads = [jnp.transpose(hd, (0, 3, 1, 2)) for hd in heads]  # (B, 1, h, w)
+            cost_volumes.append(cost_volume)
+
+        # ---- phase 2: regularize all pairs ---------------------------------
+        # In eval the P pair volumes batch through the (shared-parameter)
+        # regularizers in ONE pass — each Reg/RegPair/UncertNet layer at
+        # these sizes is dispatch-floor bound, so P-fold batching removes
+        # (P-1)/P of the per-layer overhead. Training keeps the reference's
+        # sequential per-pair BN-statistics semantics.
+        P = len(cost_volumes)
+        if P > 1 and not train:
+            cv_all = jnp.concatenate(cost_volumes, axis=0)  # (P*B, D, h, w, 8)
+            interm_all = reg(cv_all, train=train)
+            score_all = reg_pair(interm_all)[..., 0]
+            prob_all, edc_all = soft_argmin(score_all, axis=1, keepdims=True)
+            ent_all = entropy(prob_all, axis=1, keepdims=True)
+            heads_all = uncert_net(
+                jnp.transpose(ent_all, (0, 2, 3, 1)), train=train
+            )
+            heads_all = [jnp.transpose(hd, (0, 3, 1, 2)) for hd in heads_all]
+            interm_list = jnp.split(interm_all, P, axis=0)
+            edc_list = jnp.split(edc_all, P, axis=0)
+            heads_list = [
+                [jnp.split(hd, P, axis=0)[p] for hd in heads_all]
+                for p in range(P)
+            ]
+        else:
+            interm_list, edc_list, heads_list = [], [], []
+            for cost_volume in cost_volumes:
+                interm = reg(cost_volume, train=train)  # (B, D, h, w, 8)
+                score_volume = reg_pair(interm)[..., 0]  # (B, D, h, w)
+                prob_volume, est_depth_class = soft_argmin(
+                    score_volume, axis=1, keepdims=True
+                )
+                ent = entropy(prob_volume, axis=1, keepdims=True)
+                heads = uncert_net(
+                    jnp.transpose(ent, (0, 2, 3, 1)), train=train
+                )  # list of (B, h, w, 1)
+                heads = [jnp.transpose(hd, (0, 3, 1, 2)) for hd in heads]
+                interm_list.append(interm)
+                edc_list.append(est_depth_class)
+                heads_list.append(heads)
+
+        # ---- phase 3: visibility-aware fusion ------------------------------
+        for view_idx in range(P):
+            # per-view validity scalar for padded view slots: invalid views
+            # contribute zero fusion weight (soft/hard/average modes)
+            valid = src_valid[view_idx].reshape(B, 1, 1, 1, 1)
+            est_depth = edc_list[view_idx] * depth_interval + depth_start
+            heads = heads_list[view_idx]
             pair_results.append([est_depth, heads])
 
             # heads[0] is (B, 1, h, w); broadcastable weight for the
             # channel-last volume (B, D, h, w, 8) is (B, 1, h, w, 1).
-            interm = interm.astype(jnp.float32)
+            interm = interm_list[view_idx].astype(jnp.float32)
             if mode == "soft":
                 weight = jnp.exp(-heads[0])[..., None] * valid
                 weight_sum = weight_sum + weight

@@ -86,8 +86,20 @@ class CVPMVSNetModule(nn.Module):
 
         cdt = jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
         pyramid = FeaturePyramid(dtype=cdt, name="featurePyramid")
-        ref_fp = pyramid(image_key, self.nscale)
-        src_fps = [pyramid(images_src[:, i], self.nscale) for i in range(nsrc)]
+        # batch ALL views through the pyramid in one pass: each of the
+        # 9-conv x 5-scale pyramid's layers is dispatch-floor bound at
+        # these sizes, so V-fold batching removes (V-1)/V of the overhead
+        all_imgs = jnp.concatenate(
+            [image_key[:, None]]
+            + [images_src[:, i : i + 1] for i in range(nsrc)],
+            axis=1,
+        )  # (B, V, H, W, 3) key-first
+        fp_all = pyramid(all_imgs.reshape(B * V, H, W, 3), self.nscale)
+        ref_fp = [f.reshape(B, V, *f.shape[1:])[:, 0] for f in fp_all]
+        src_fps = [
+            [f.reshape(B, V, *f.shape[1:])[:, 1 + i] for f in fp_all]
+            for i in range(nsrc)
+        ]
 
         fp_shapes = [(f.shape[1], f.shape[2]) for f in ref_fp]
         ref_K_ms = condition_intrinsics(K_key, (H, W), fp_shapes)  # (B, S, 3, 3)

@@ -145,13 +145,34 @@ def main():
         )
         return jnp.concatenate([top, bottom], axis=1)
 
+    use_fused = os.environ.get("BENCH_WARP_IMPL", "pallas") == "pallas"
+
     def stage_coarse_volume(ref_fp_last, src_fp_lasts):
+        ref_proj_inv = jnp.linalg.inv(proj_mat(ref_K_ms[:, -1], pose_key))
+        if use_fused:
+            from robustmvd_tpu.ops.pallas.sweep_warp import warp_variance_rt
+
+            projs = jnp.stack(
+                [
+                    proj_mat(src_K_ms[:, i, -1], poses_src[:, i]) @ ref_proj_inv
+                    for i in range(nsrc)
+                ],
+                axis=1,
+            )
+            return warp_variance_rt(
+                ref_fp_last,
+                jnp.stack(src_fp_lasts, axis=1),
+                projs[:, :, :3, :3],
+                projs[:, :, :3, 3],
+                depth_hypos,
+                dc=16,
+                band=4,
+            )
         ref_volume = jnp.broadcast_to(
             ref_fp_last[:, None], (B, 48, *ref_fp_last.shape[1:])
         )
         volume_sum = ref_volume.astype(jnp.float32)
         volume_sq_sum = volume_sum**2
-        ref_proj_inv = jnp.linalg.inv(proj_mat(ref_K_ms[:, -1], pose_key))
         for i in range(nsrc):
             proj = proj_mat(src_K_ms[:, i, -1], poses_src[:, i]) @ ref_proj_inv
             warped = rt_planesweep_warp(
@@ -207,6 +228,7 @@ def main():
                 pose_key,
                 poses_src,
                 hypos,
+                impl="pallas_fused" if use_fused else "xla",
             )
 
         src_f = [src_fps[i][level] for i in range(nsrc)]
