@@ -65,6 +65,38 @@ def scalarize(fn):
     return g
 
 
+# v5e peaks: 197 TFLOP/s bf16 (98.5 f32), 819 GB/s HBM
+_PEAK_FLOPS = {"bfloat16": 197e12, "bf16": 197e12}
+_HBM_BW = 819e9
+
+
+def stage_bound(fn, *args, dtype="float32"):
+    """(flops, bytes, bound_ms) from XLA cost analysis of the jitted stage."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        peak = _PEAK_FLOPS.get(dtype, 98.5e12)
+        bound = max(flops / peak, byts / _HBM_BW) * 1e3
+        return flops, byts, bound
+    except Exception:
+        return 0.0, 0.0, 0.0
+
+
+def report(name, t_ms, fn, *args, dtype="float32"):
+    flops, byts, bound = stage_bound(fn, *args, dtype=dtype)
+    ratio = t_ms / bound if bound > 0 else float("nan")
+    print(
+        f"{name:<22} {t_ms:8.2f} ms | {flops / 1e9:8.2f} GF {byts / 1e6:8.1f} MB"
+        f" | bound {bound:6.2f} ms | {ratio:5.1f}x off"
+    )
+
+
 def main():
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     model = create_model(
@@ -112,7 +144,7 @@ def main():
 
     t_enc = timeit(scalarize(stage_encoder), images)
     all_enc = jax.jit(stage_encoder)(images)
-    print(f"encoder ({V} views)      {t_enc:8.2f} ms")
+    report(f"encoder ({V} views)", t_enc, scalarize(stage_encoder), images, dtype=dtype)
 
     conv1_key, _ = split_key_sources(all_enc["conv1"], keyview_idx)
     conv2_key, _ = split_key_sources(all_enc["conv2"], keyview_idx)
@@ -125,7 +157,7 @@ def main():
 
     ctx = jax.jit(stage_context)(enc_key)
     t_ctx = timeit(scalarize(stage_context), enc_key)
-    print(f"context encoder        {t_ctx:8.2f} ms")
+    report("context encoder", t_ctx, scalarize(stage_context), enc_key, dtype=dtype)
 
     def stage_corr(enc_key, enc_sources):
         corrs, masks, _ = planesweep_correlation(
@@ -137,21 +169,21 @@ def main():
             num_sampling_points=256,
             min_depth=0.4,
             max_depth=1000.0,
-            impl="matmul",
+            impl="pixelscan",
             slab_size=128,
         )
         return corrs, masks
 
     corrs, masks = jax.jit(stage_corr)(enc_key, enc_sources)
     t_corr = timeit(scalarize(stage_corr), enc_key, enc_sources)
-    print(f"planesweep correlation {t_corr:8.2f} ms")
+    report("planesweep corr", t_corr, scalarize(stage_corr), enc_key, enc_sources, dtype=dtype)
 
     def stage_fusion(corrs, masks):
         return fus.apply({"params": p["fusion_block"]}, corrs, masks)
 
     fused = jax.jit(stage_fusion)(corrs, masks)
     t_fus = timeit(scalarize(stage_fusion), corrs, masks)
-    print(f"learned fusion         {t_fus:8.2f} ms")
+    report("learned fusion", t_fus, scalarize(stage_fusion), corrs, masks, dtype=dtype)
 
     fused_corr = fused[0]
 
@@ -160,7 +192,7 @@ def main():
 
     all_enc_fused, enc_fused = jax.jit(stage_cve)(fused_corr, ctx)
     t_cve = timeit(scalarize(stage_cve), fused_corr, ctx)
-    print(f"costvolume encoder     {t_cve:8.2f} ms")
+    report("costvolume encoder", t_cve, scalarize(stage_cve), fused_corr, ctx, dtype=dtype)
 
     def stage_dec(enc_fused, all_enc_fused, conv1_key, conv2_key):
         return dec.apply(
@@ -170,7 +202,7 @@ def main():
         )
 
     t_dec = timeit(scalarize(stage_dec), enc_fused, all_enc_fused, conv1_key, conv2_key)
-    print(f"decoder                {t_dec:8.2f} ms")
+    report("decoder", t_dec, scalarize(stage_dec), enc_fused, all_enc_fused, conv1_key, conv2_key, dtype=dtype)
 
     total = t_enc + t_ctx + t_corr + t_fus + t_cve + t_dec
     print(f"stage sum              {total:8.2f} ms (full fwd {t_full:.2f})")
