@@ -236,7 +236,7 @@ def _sweep_kernel(
             Dc=Dc, W=W, Ws=Ws, Hs=Hs, BAND=BAND, C=C,
             samp_dtype=samp_dtype, precision=precision, r=r, norm=norm,
         )
-        val = valid_ref[0, v]
+        val = valid_ref[pl.program_id(0), v]
         if agg == "variance":
             vsum = vsum + warped * val
             vsq = vsq + warped * warped * val
@@ -330,7 +330,11 @@ def _call_sweep(
             if dense
             else pl.BlockSpec((1, 1, V * 9, dc), lambda b, dk, r: (b, dk, 0, 0))
         ),
-        pl.BlockSpec((1, V), lambda b, dk, r: (b, 0), memory_space=pltpu.SMEM),
+        # full (B, V) block: a (1, V) block would violate the trailing-dims
+        # rule for B > 1; the kernel indexes rows by program_id(0)
+        pl.BlockSpec(
+            valid.shape, lambda b, dk, r: (0, 0), memory_space=pltpu.SMEM
+        ),
         pl.BlockSpec(
             (1, 1, H, V), lambda b, dk, r: (b, dk, 0, 0),
             memory_space=pltpu.SMEM,
