@@ -429,6 +429,8 @@ class SingleStage(nn.Module):
                 Hs = get_homographies(
                     ref_cam_s, src_cam_s, depth_num, depth_start, depth_interval
                 )  # (B, D, H', W', 3, 3)
+                Hs = jax.lax.optimization_barrier(Hs)
+                src_feat = jax.lax.optimization_barrier(src_feat)
 
                 # warp all D hypotheses at once: fold D into batch
                 src_rep = jnp.broadcast_to(src_feat[:, None], (B, depth_num, h, w, C))
@@ -439,6 +441,12 @@ class SingleStage(nn.Module):
                 else:
                     H_flat = Hs.reshape(B * depth_num, Hp, Wp, 3, 3)
                 warped = homography_warping(src_rep, H_flat)
+                # barrier: on the TPU backend, letting XLA fuse the warp
+                # gather into the correlation consumer miscompiles to NaN
+                # at small feature sizes (isolated warp+corr is finite;
+                # PARITY.md round-5 finding 4) — and it also duplicates
+                # the gather into multiple consumers (round-4 finding)
+                warped = jax.lax.optimization_barrier(warped)
                 warped = warped.reshape(B, depth_num, h, w, C)
 
                 cost_volume = groupwise_correlation(ref_vol, warped, 8, axis=-1)
